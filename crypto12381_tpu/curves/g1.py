@@ -1,0 +1,160 @@
+"""Batched G1 = E(Fp): y^2 = x^3 + 4 on TPU.
+
+Capability counterpart of the reference's ECP unit + G1Point wrapper
+(ecp_BLS12381.cpp, include/crypto12381/g1_point.hpp), rebuilt on the
+complete homogeneous formulas in curves/weierstrass.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import fp as FP
+from ..params import B_G1, G1_GEN_X, G1_GEN_Y, H_EFF_G1, R
+from . import weierstrass as W
+
+CTX = FP.FP_CTX
+
+
+def _mul_many(pairs):
+    X = jnp.stack([a for a, _ in pairs], axis=-2)
+    Y = jnp.stack([b for _, b in pairs], axis=-2)
+    T = FP.mont_mul(CTX, X, Y)
+    return [T[..., i, :] for i in range(len(pairs))]
+
+
+def _select(mask, a, b):
+    return jnp.where(mask[..., None], a, b)
+
+
+@functools.lru_cache(maxsize=1)
+def ops() -> W.FieldOps:
+    b3 = FP.from_int(CTX, 3 * B_G1)
+    return W.FieldOps(
+        add=lambda a, b: FP.add(CTX, a, b),
+        sub=lambda a, b: FP.sub(CTX, a, b),
+        neg=lambda a: FP.neg(CTX, a),
+        mul_many=_mul_many,
+        is_zero=lambda a: FP.is_zero(CTX, a),
+        eq=lambda a, b: FP.eq(CTX, a, b),
+        zero=lambda batch=(): FP.zero(CTX, batch),
+        one=lambda batch=(): FP.one(CTX, batch),
+        select=_select,
+        b3_const=b3,
+        elem_ndim=1,
+    )
+
+
+# -- constructors ------------------------------------------------------------
+
+
+def generator(batch=()):
+    x = FP.from_int(CTX, G1_GEN_X)
+    y = FP.from_int(CTX, G1_GEN_Y)
+    o = ops()
+    return (
+        jnp.broadcast_to(x, batch + x.shape),
+        jnp.broadcast_to(y, batch + y.shape),
+        o.one(batch),
+    )
+
+
+def identity(batch=()):
+    return W.identity(ops(), batch)
+
+
+def from_affine_ints(xs, ys):
+    """Host ints (scalars or lists) -> batched device points."""
+    x = FP.from_int(CTX, xs)
+    y = FP.from_int(CTX, ys)
+    return (x, y, FP.one(CTX, x.shape[:-1]))
+
+
+# -- group ops ---------------------------------------------------------------
+
+
+def add(p, q):
+    return W.add(ops(), p, q)
+
+
+def double(p):
+    return W.double(ops(), p)
+
+
+def neg(p):
+    return W.negate(ops(), p)
+
+
+def eq(p, q):
+    return W.eq(ops(), p, q)
+
+
+def is_identity(p):
+    return W.is_identity(ops(), p)
+
+
+def on_curve(p):
+    return W.on_curve(ops(), p)
+
+
+def scalar_mul(p, e_std, n_bits: int = 255):
+    """e_std: standard-domain Fr limbs (..., 16)."""
+    return W.scalar_mul(ops(), p, e_std, n_bits)
+
+
+def mul_int(p, k: int):
+    """Multiply by a host integer (no mod-r reduction; used for cofactors)."""
+    if k == 0:
+        return identity(p[0].shape[:-1])
+    bits = np.array([int(b) for b in bin(k)[2:]], np.int32)
+    import jax
+
+    def body(acc, bit):
+        acc = double(acc)
+        acc = W.select_point(ops(), bit != 0, add(acc, p), acc)
+        return acc, None
+
+    acc, _ = jax.lax.scan(body, identity(p[0].shape[:-1]), jnp.asarray(bits))
+    return acc
+
+
+def clear_cofactor(p):
+    """Effective-cofactor clearing by 1+|x| (ref ECP_cfp + rom CURVE_Cof)."""
+    return mul_int(p, H_EFF_G1)
+
+
+def in_subgroup(p):
+    """Full order check [r]P == O (endomorphism speedup later)."""
+    return jnp.logical_and(is_identity(mul_int(p, R)), on_curve(p))
+
+
+# -- affine / host conversion ------------------------------------------------
+
+
+def to_affine(p):
+    """Returns (x, y, inf_mask) with x,y canonical only through FP domain
+    (still Montgomery limbs); inf handled by mask."""
+    X, Y, Z = p
+    zi = FP.inv(CTX, Z)
+    x, y = _mul_many([(X, zi), (Y, zi)])
+    return x, y, is_identity(p)
+
+
+def to_affine_ints(p):
+    """Host conversion: numpy object arrays (x, y) and None-mask for
+    infinity (single point -> tuple or None)."""
+    x, y, inf = to_affine(p)
+    xi = FP.to_int(CTX, x)
+    yi = FP.to_int(CTX, y)
+    inf = np.asarray(inf)
+    if inf.shape == ():
+        return None if bool(inf) else (int(xi), int(yi))
+    out = np.empty(inf.shape, object)
+    it = np.nditer(inf, flags=["multi_index"])
+    for v in it:
+        idx = it.multi_index
+        out[idx] = None if bool(v) else (int(xi[idx]), int(yi[idx]))
+    return out

@@ -1,0 +1,137 @@
+"""Batched G2 = E'(Fp2): y^2 = x^3 + 4(1+i) (M-type twist) on TPU.
+
+Capability counterpart of the reference's ECP2 unit + G2Point wrapper
+(ecp2_BLS12381.cpp, include/crypto12381/g2_point.hpp), sharing the complete
+homogeneous formulas with G1 via the pluggable field-ops table.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..fields import fp as FP
+from ..fields import tower as TW
+from ..params import B_G2, G2_GEN_X, G2_GEN_Y, R
+from . import weierstrass as W
+
+CTX = FP.FP_CTX
+
+
+def _fp2_from_ints(v):
+    return jnp.stack(
+        [FP.from_int(CTX, v[0]), FP.from_int(CTX, v[1])], axis=-2
+    )
+
+
+def _select(mask, a, b):
+    return jnp.where(mask[..., None, None], a, b)
+
+
+@functools.lru_cache(maxsize=1)
+def ops() -> W.FieldOps:
+    b3 = _fp2_from_ints((3 * B_G2[0], 3 * B_G2[1]))
+    return W.FieldOps(
+        add=TW.fp2_add,
+        sub=TW.fp2_sub,
+        neg=TW.fp2_neg,
+        mul_many=TW.fp2_mul_many,
+        is_zero=TW.fp2_is_zero,
+        eq=TW.fp2_eq,
+        zero=TW.fp2_zero,
+        one=TW.fp2_one,
+        select=_select,
+        b3_const=b3,
+        elem_ndim=2,
+    )
+
+
+# -- constructors ------------------------------------------------------------
+
+
+def generator(batch=()):
+    x = _fp2_from_ints(G2_GEN_X)
+    y = _fp2_from_ints(G2_GEN_Y)
+    return (
+        jnp.broadcast_to(x, batch + x.shape),
+        jnp.broadcast_to(y, batch + y.shape),
+        TW.fp2_one(batch),
+    )
+
+
+def identity(batch=()):
+    return W.identity(ops(), batch)
+
+
+def from_affine_fp2(x_pair, y_pair):
+    """Host Fp2 int pairs (re, im) -> one device point."""
+    return (_fp2_from_ints(x_pair), _fp2_from_ints(y_pair), TW.fp2_one(()))
+
+
+# -- group ops ---------------------------------------------------------------
+
+
+def add(p, q):
+    return W.add(ops(), p, q)
+
+
+def double(p):
+    return W.double(ops(), p)
+
+
+def neg(p):
+    return W.negate(ops(), p)
+
+
+def eq(p, q):
+    return W.eq(ops(), p, q)
+
+
+def is_identity(p):
+    return W.is_identity(ops(), p)
+
+
+def on_curve(p):
+    return W.on_curve(ops(), p)
+
+
+def scalar_mul(p, e_std, n_bits: int = 255):
+    return W.scalar_mul(ops(), p, e_std, n_bits)
+
+
+def to_affine(p):
+    X, Y, Z = p
+    zi = TW.fp2_inv(Z)
+    x, y = TW.fp2_mul_many([(X, zi), (Y, zi)])
+    return x, y, is_identity(p)
+
+
+def to_affine_ints(p):
+    """Host conversion -> ((xr, xi), (yr, yi)) tuples or None (infinity)."""
+    x, y, inf = to_affine(p)
+
+    def fp2_ints(c):
+        return (
+            FP.to_int(CTX, c[..., 0, :]),
+            FP.to_int(CTX, c[..., 1, :]),
+        )
+
+    xr, xi_ = fp2_ints(x)
+    yr, yi_ = fp2_ints(y)
+    inf = np.asarray(inf)
+    if inf.shape == ():
+        if bool(inf):
+            return None
+        return ((int(xr), int(xi_)), (int(yr), int(yi_)))
+    out = np.empty(inf.shape, object)
+    it = np.nditer(inf, flags=["multi_index"])
+    for v in it:
+        idx = it.multi_index
+        out[idx] = (
+            None
+            if bool(v)
+            else ((int(xr[idx]), int(xi_[idx])), (int(yr[idx]), int(yi_[idx])))
+        )
+    return out

@@ -183,6 +183,7 @@ def _mul_cols(a: jnp.ndarray, b: jnp.ndarray, scatter: np.ndarray) -> jnp.ndarra
 
     a, b: (..., L) int32 limbs < 2^16.  Column values < 2*L*2^16 < 2^22 —
     exact in fp32 accumulation."""
+    a, b = jnp.broadcast_arrays(a, b)
     L = a.shape[-1]
     batch = a.shape[:-1]
     prod = a[..., :, None].astype(jnp.uint32) * b[..., None, :].astype(jnp.uint32)

@@ -1,0 +1,377 @@
+"""Batched Fp2/Fp6/Fp12 tower arithmetic on TPU.
+
+TPU-native counterpart of the reference's fp2/fp4/fp12 MIRACL units
+(3rd-party/miracl-core/fp{2,4,12}_BLS12381.cpp).  Same field, different
+grouping: we use the standard Fp6/Fp2 tower (v^3 = xi = 1+i, w^2 = v) whose
+w-basis coefficients coincide with the reference's Fp4 tower — see
+compat/codec.py for the byte-order mapping.
+
+Key TPU design point: every tower multiplication *collects all its base-Fp
+multiplications into one stacked mont_mul call* (a leading stacked axis),
+so the limb-product MXU contraction stays large no matter how high in the
+tower we are (an Fp12 mul = 54 Fp muls in a single kernel-sized batch).
+
+Shapes (int32 limb arrays, L = 24):
+  Fp2  : (..., 2, L)       [c_re, c_im]
+  Fp6  : (..., 3, 2, L)    coefficients of 1, v, v^2
+  Fp12 : (..., 2, 3, 2, L) coefficients of 1, w
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..params import P
+from ..pyref import field as PF
+from . import fp as FP
+
+CTX = FP.FP_CTX
+L = CTX.L
+
+
+# ---------------------------------------------------------------------------
+# Fp2
+# ---------------------------------------------------------------------------
+
+
+def fp2_add(a, b):
+    return FP.add(CTX, a, b)
+
+
+def fp2_sub(a, b):
+    return FP.sub(CTX, a, b)
+
+
+def fp2_neg(a):
+    return FP.neg(CTX, a)
+
+
+def fp2_conj(a):
+    return jnp.stack([a[..., 0, :], FP.neg(CTX, a[..., 1, :])], axis=-2)
+
+
+def fp2_mul_xi(a):
+    """Multiply by xi = 1+i: (re, im) -> (re-im, re+im)."""
+    re, im = a[..., 0, :], a[..., 1, :]
+    return jnp.stack([FP.sub(CTX, re, im), FP.add(CTX, re, im)], axis=-2)
+
+
+def fp2_mul_small(a, k: int):
+    return FP.mul_small(CTX, a, k)
+
+
+def fp2_mul_fp(a, s):
+    """Multiply both coefficients by an Fp element s (..., L)."""
+    return FP.mont_mul(CTX, a, s[..., None, :])
+
+
+def fp2_mul_many(pairs):
+    """Karatsuba Fp2 products for a list of (a, b); 3 Fp muls each, all in
+    one stacked mont_mul."""
+    xs, ys = [], []
+    for a, b in pairs:
+        a0, a1 = a[..., 0, :], a[..., 1, :]
+        b0, b1 = b[..., 0, :], b[..., 1, :]
+        xs += [a0, a1, FP.add(CTX, a0, a1)]
+        ys += [b0, b1, FP.add(CTX, b0, b1)]
+    T = FP.mont_mul(CTX, jnp.stack(xs, axis=-2), jnp.stack(ys, axis=-2))
+    out = []
+    for i in range(len(pairs)):
+        t0, t1, t2 = T[..., 3 * i, :], T[..., 3 * i + 1, :], T[..., 3 * i + 2, :]
+        re = FP.sub(CTX, t0, t1)
+        im = FP.sub(CTX, t2, FP.add(CTX, t0, t1))
+        out.append(jnp.stack([re, im], axis=-2))
+    return out
+
+
+def fp2_mul(a, b):
+    return fp2_mul_many([(a, b)])[0]
+
+
+def fp2_sqr(a):
+    """(a0+a1)(a0-a1), 2*a0*a1 — two Fp muls in one call."""
+    a0, a1 = a[..., 0, :], a[..., 1, :]
+    X = jnp.stack([FP.add(CTX, a0, a1), a0], axis=-2)
+    Y = jnp.stack([FP.sub(CTX, a0, a1), FP.double(CTX, a1)], axis=-2)
+    T = FP.mont_mul(CTX, X, Y)
+    return T  # already (..., 2, L): [re, im]
+
+
+def fp2_inv(a):
+    a0, a1 = a[..., 0, :], a[..., 1, :]
+    T = FP.mont_mul(CTX, jnp.stack([a0, a1], -2), jnp.stack([a0, a1], -2))
+    d = FP.add(CTX, T[..., 0, :], T[..., 1, :])
+    di = FP.inv(CTX, d)
+    return jnp.stack(
+        [FP.mont_mul(CTX, a0, di), FP.neg(CTX, FP.mont_mul(CTX, a1, di))], axis=-2
+    )
+
+
+def fp2_is_zero(a):
+    return jnp.logical_and(
+        FP.is_zero(CTX, a[..., 0, :]), FP.is_zero(CTX, a[..., 1, :])
+    )
+
+
+def fp2_eq(a, b):
+    return jnp.logical_and(
+        FP.eq(CTX, a[..., 0, :], b[..., 0, :]),
+        FP.eq(CTX, a[..., 1, :], b[..., 1, :]),
+    )
+
+
+def fp2_zero(batch=()):
+    return FP.zero(CTX, batch + (2,))
+
+
+def fp2_one(batch=()):
+    return jnp.stack([FP.one(CTX, batch), FP.zero(CTX, batch)], axis=-2)
+
+
+# ---------------------------------------------------------------------------
+# Fp6 (c0 + c1 v + c2 v^2)
+# ---------------------------------------------------------------------------
+
+
+def _c(x, i):
+    return x[..., i, :, :]
+
+
+def fp6_stack(c0, c1, c2):
+    return jnp.stack([c0, c1, c2], axis=-3)
+
+
+def fp6_add(a, b):
+    return FP.add(CTX, a, b)
+
+
+def fp6_sub(a, b):
+    return FP.sub(CTX, a, b)
+
+
+def fp6_neg(a):
+    return FP.neg(CTX, a)
+
+
+def fp6_mul_by_v(a):
+    """(c0,c1,c2) -> (xi*c2, c0, c1)."""
+    return fp6_stack(fp2_mul_xi(_c(a, 2)), _c(a, 0), _c(a, 1))
+
+
+def _fp6_pairs(a, b):
+    """The 6 Fp2 products of one Fp6 Karatsuba multiplication."""
+    a0, a1, a2 = _c(a, 0), _c(a, 1), _c(a, 2)
+    b0, b1, b2 = _c(b, 0), _c(b, 1), _c(b, 2)
+    return [
+        (a0, b0),
+        (a1, b1),
+        (a2, b2),
+        (fp2_add(a0, a1), fp2_add(b0, b1)),
+        (fp2_add(a1, a2), fp2_add(b1, b2)),
+        (fp2_add(a0, a2), fp2_add(b0, b2)),
+    ]
+
+
+def _fp6_combine(t):
+    t0, t1, t2, m01, m12, m02 = t
+    c0 = fp2_add(t0, fp2_mul_xi(fp2_sub(m12, fp2_add(t1, t2))))
+    c1 = fp2_add(fp2_sub(m01, fp2_add(t0, t1)), fp2_mul_xi(t2))
+    c2 = fp2_add(fp2_sub(m02, fp2_add(t0, t2)), t1)
+    return fp6_stack(c0, c1, c2)
+
+
+def fp6_mul_many(pairs):
+    """Batch any number of Fp6 products through one stacked Fp mul."""
+    fp2_pairs = []
+    for a, b in pairs:
+        fp2_pairs += _fp6_pairs(a, b)
+    prods = fp2_mul_many(fp2_pairs)
+    return [_fp6_combine(prods[6 * i : 6 * i + 6]) for i in range(len(pairs))]
+
+
+def fp6_mul(a, b):
+    return fp6_mul_many([(a, b)])[0]
+
+
+def fp6_sqr(a):
+    return fp6_mul(a, a)
+
+
+def fp6_inv(a):
+    a0, a1, a2 = _c(a, 0), _c(a, 1), _c(a, 2)
+    sq = fp2_mul_many([(a0, a0), (a1, a1), (a2, a2), (a1, a2), (a0, a1), (a0, a2)])
+    s0, s1, s2, s12, s01, s02 = sq
+    t0 = fp2_sub(s0, fp2_mul_xi(s12))
+    t1 = fp2_sub(fp2_mul_xi(s2), s01)
+    t2 = fp2_sub(s1, s02)
+    parts = fp2_mul_many([(a0, t0), (a2, t1), (a1, t2)])
+    d = fp2_add(parts[0], fp2_mul_xi(fp2_add(parts[1], parts[2])))
+    di = fp2_inv(d)
+    outs = fp2_mul_many([(t0, di), (t1, di), (t2, di)])
+    return fp6_stack(*outs)
+
+
+def fp6_zero(batch=()):
+    return FP.zero(CTX, batch + (3, 2))
+
+
+def fp6_one(batch=()):
+    return fp6_stack(fp2_one(batch), fp2_zero(batch), fp2_zero(batch))
+
+
+# ---------------------------------------------------------------------------
+# Fp12 (a + b w)
+# ---------------------------------------------------------------------------
+
+
+def _h(x, i):
+    return x[..., i, :, :, :]
+
+
+def fp12_stack(a, b):
+    return jnp.stack([a, b], axis=-4)
+
+
+def fp12_mul(x, y):
+    a0, a1 = _h(x, 0), _h(x, 1)
+    b0, b1 = _h(y, 0), _h(y, 1)
+    t0, t1, m = fp6_mul_many(
+        [(a0, b0), (a1, b1), (fp6_add(a0, a1), fp6_add(b0, b1))]
+    )
+    c0 = fp6_add(t0, fp6_mul_by_v(t1))
+    c1 = fp6_sub(m, fp6_add(t0, t1))
+    return fp12_stack(c0, c1)
+
+
+def fp12_sqr(x):
+    """Complex-squaring style: c0 = (a+b)(a+vb) - m - vm, c1 = 2m with
+    m = a*b — 2 Fp6 muls."""
+    a, b = _h(x, 0), _h(x, 1)
+    t, m = fp6_mul_many([(fp6_add(a, b), fp6_add(a, fp6_mul_by_v(b))), (a, b)])
+    c0 = fp6_sub(t, fp6_add(m, fp6_mul_by_v(m)))
+    c1 = fp6_add(m, m)
+    return fp12_stack(c0, c1)
+
+
+def fp12_conj(x):
+    return fp12_stack(_h(x, 0), fp6_neg(_h(x, 1)))
+
+
+def fp12_inv(x):
+    a, b = _h(x, 0), _h(x, 1)
+    t0, t1 = fp6_mul_many([(a, a), (b, b)])
+    d = fp6_sub(t0, fp6_mul_by_v(t1))
+    di = fp6_inv(d)
+    o0, o1 = fp6_mul_many([(a, di), (b, di)])
+    return fp12_stack(o0, fp6_neg(o1))
+
+
+def fp12_add(x, y):
+    return FP.add(CTX, x, y)
+
+
+def fp12_eq(x, y):
+    a = FP.reduce_full(CTX, x)
+    b = FP.reduce_full(CTX, y)
+    return jnp.all(a == b, axis=(-1, -2, -3, -4))
+
+
+def fp12_is_one(x):
+    return fp12_eq(x, fp12_one(x.shape[:-4]))
+
+
+def fp12_zero(batch=()):
+    return FP.zero(CTX, batch + (2, 3, 2))
+
+
+def fp12_one(batch=()):
+    return fp12_stack(fp6_one(batch), fp6_zero(batch))
+
+
+# --------------------------------------------------------------- w-basis
+
+
+def fp12_coeffs_w(x):
+    """6 Fp2 coefficients over the w-basis: C0=a.c0, C1=b.c0, C2=a.c1,
+    C3=b.c1, C4=a.c2, C5=b.c2."""
+    a, b = _h(x, 0), _h(x, 1)
+    return [_c(a, 0), _c(b, 0), _c(a, 1), _c(b, 1), _c(a, 2), _c(b, 2)]
+
+
+def fp12_from_coeffs_w(cs):
+    a = fp6_stack(cs[0], cs[2], cs[4])
+    b = fp6_stack(cs[1], cs[3], cs[5])
+    return fp12_stack(a, b)
+
+
+# ------------------------------------------------------------- Frobenius
+
+
+@functools.lru_cache(maxsize=None)
+def _frob_gammas(n: int) -> np.ndarray:
+    """gamma_{n,k} = xi^(k*(p^n-1)/6) for k=0..5 as (6, 2, L) Montgomery
+    limbs (host-computed once with exact ints)."""
+    out = np.zeros((6, 2, L), np.int32)
+    e = (pow(P, n) - 1) // 6
+    base = (1, 1)
+
+    def fp2_pow(x, k):  # exact-int Fp2 powering
+        r = (1, 0)
+        while k:
+            if k & 1:
+                r = PF.fp2_mul(r, x)
+            x = PF.fp2_sqr(x)
+            k >>= 1
+        return r
+
+    gamma = fp2_pow(base, e)
+    acc = (1, 0)
+    mont = lambda v: np.array(
+        FP.FP_CTX.params.to_limbs(v * FP.FP_CTX.params.R % P), np.int32
+    )
+    for k in range(6):
+        out[k, 0] = mont(acc[0])
+        out[k, 1] = mont(acc[1])
+        acc = PF.fp2_mul(acc, gamma)
+    return out
+
+
+def fp12_frob(x, n: int = 1):
+    """x -> x^(p^n): C_k -> conj^n(C_k) * gamma_{n,k}."""
+    cs = fp12_coeffs_w(x)
+    gammas = jnp.asarray(_frob_gammas(n))
+    outs = []
+    for k in range(6):
+        c = fp2_conj(cs[k]) if n % 2 == 1 else cs[k]
+        outs.append(fp2_mul(c, jnp.broadcast_to(gammas[k], c.shape)))
+    return fp12_from_coeffs_w(outs)
+
+
+# ----------------------------------------------------- host conversions
+
+
+def fp12_from_pyref(v, batch=False):
+    """pyref Fp12 tuple -> device array (single element)."""
+    cs = PF.fp12_coeffs_w(v)
+    arrs = []
+    for re, im in cs:
+        arrs.append(
+            jnp.stack(
+                [FP.from_int(CTX, re), FP.from_int(CTX, im)], axis=-2
+            )
+        )
+    return fp12_from_coeffs_w(arrs)
+
+
+def fp12_to_pyref(x):
+    """device array (single element, no batch dims) -> pyref Fp12 tuple."""
+    cs = fp12_coeffs_w(x)
+    out = []
+    for c in cs:
+        re = int(FP.to_int(CTX, c[..., 0, :]))
+        im = int(FP.to_int(CTX, c[..., 1, :]))
+        out.append((re, im))
+    return PF.fp12_from_coeffs_w(tuple(out))
