@@ -32,7 +32,12 @@ def _select(mask, a, b):
 
 @functools.lru_cache(maxsize=1)
 def ops() -> W.FieldOps:
-    b3 = FP.from_int(CTX, 3 * B_G1)
+    # host-side Montgomery constant: lru-cached closures must never capture
+    # traced arrays (ops() may first be called inside a jit trace)
+    b3 = np.array(
+        CTX.params.to_limbs(3 * B_G1 * CTX.params.R_mod % CTX.params.modulus),
+        np.int32,
+    )
     return W.FieldOps(
         add=lambda a, b: FP.add(CTX, a, b),
         sub=lambda a, b: FP.sub(CTX, a, b),
@@ -43,6 +48,7 @@ def ops() -> W.FieldOps:
         zero=lambda batch=(): FP.zero(CTX, batch),
         one=lambda batch=(): FP.one(CTX, batch),
         select=_select,
+        tighten=lambda a: FP.tighten(CTX, a),
         b3_const=b3,
         elem_ndim=1,
     )

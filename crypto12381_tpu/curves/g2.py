@@ -32,7 +32,12 @@ def _select(mask, a, b):
 
 @functools.lru_cache(maxsize=1)
 def ops() -> W.FieldOps:
-    b3 = _fp2_from_ints((3 * B_G2[0], 3 * B_G2[1]))
+    # host-side Montgomery constant (see g1.ops note on lru-cached tracers)
+    def mont(v):
+        ctx = FP.FP_CTX
+        return np.array(ctx.params.to_limbs(v * ctx.params.R_mod % ctx.params.modulus), np.int32)
+
+    b3 = np.stack([mont(3 * B_G2[0]), mont(3 * B_G2[1])])
     return W.FieldOps(
         add=TW.fp2_add,
         sub=TW.fp2_sub,
@@ -43,6 +48,7 @@ def ops() -> W.FieldOps:
         zero=TW.fp2_zero,
         one=TW.fp2_one,
         select=_select,
+        tighten=lambda a: FP.tighten(FP.FP_CTX, a),
         b3_const=b3,
         elem_ndim=2,
     )

@@ -35,6 +35,7 @@ class FieldOps:
     zero: Callable                # (batch_shape) -> element
     one: Callable
     select: Callable              # (mask, a, b) with batch-shaped mask
+    tighten: Callable             # value/limb re-tightening (fp.tighten)
     b3_const: Any                 # field element: 3*b (broadcastable)
     #: element ndim past batch dims (1 for Fp (L,), 2 for Fp2 (2,L))
     elem_ndim: int = 1
@@ -82,7 +83,8 @@ def add(ops: FieldOps, p, q):
     X3 = ops.sub(c[0], c[1])
     Y3 = ops.add(c[3], c[2])
     Z3 = ops.add(c[5], c[4])
-    return (X3, Y3, Z3)
+    # re-tighten so coordinate values/limbs stay bounded across scan steps
+    return (ops.tighten(X3), ops.tighten(Y3), ops.tighten(Z3))
 
 
 def double(ops: FieldOps, p):

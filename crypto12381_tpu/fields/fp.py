@@ -4,7 +4,7 @@ TPU-native replacement for the reference's BIG/FP units
 (3rd-party/miracl-core/big_B384_58.cpp, fp_BLS12381.cpp).  The reference
 multiplies 7x58-bit int64 limbs with int128 comba accumulation — impossible
 on TPU vector units.  Here a field element is (..., L) int32 limbs in base
-2^16 (Fp: L=24, Fr: L=16) and a batch of field multiplications becomes:
+2^16 and a batch of field multiplications becomes:
 
   1. outer products in uint32 (exact: 16b x 16b products fit 32 bits),
   2. lo/hi 16-bit split, then *column reduction as one fp32 matmul* with a
@@ -12,22 +12,30 @@ on TPU vector units.  Here a field element is (..., L) int32 limbs in base
      the contraction rides the MXU,
   3. an exact parallel carry-propagation pass (two split rounds + a
      Kogge-Stone generate/propagate prefix — no sequential scan),
-  4. Montgomery REDC with the full-width constant n' = -p^-1 mod R,
-     R = 2^(16L).
+  4. Montgomery REDC with the full-width constant n' = -p^-1 mod R.
 
-Range discipline (static analysis replacing the reference's runtime XES
-excess tracking, fp_BLS12381.h:40-44, and compile-time ChunkRange budgets,
-chunk_range.hpp:13-86 — jit traces cannot branch on data):
+Range discipline ("loose limbs", the static analogue of the reference's
+runtime XES excess tracking fp_BLS12381.h:40-44 and compile-time ChunkRange
+budgets chunk_range.hpp:13-86 — jit traces cannot branch on data):
 
-  * Fp (L=24, R=2^384 > 4p): values live in the lazy range [0, 2p).
-    REDC output < 1.5p; add/sub re-establish < 2p with one conditional
-    subtraction of 2p.  ("Montgomery without final subtraction".)
-  * Fr (L=16, R=2^256 < 4r): values are kept < r; every mul/add ends with a
-    conditional subtraction of r (REDC output < 1.46r when inputs < r).
+  * L carries one limb of headroom past the modulus (Fp: L=25, R=2^400,
+    R/p = 2^19; Fr: L=18, R=2^288, R/r = 2^33).
+  * Elements are "loose": limbs may exceed 16 bits (up to ~2^26) and the
+    value may be any representative < 2^19-ish multiples of the modulus.
+  * add/sub/neg/mul_small are RAW limb ops (1-2 XLA ops, no carries, no
+    comparisons).  Subtraction stays non-negative by adding a precomputed
+    multiple of the modulus whose limb representation dominates the
+    subtrahend's static limb bound (the K-constant family).
+  * mont_mul carry-normalizes its operands internally; because R/modulus is
+    huge, REDC output is < modulus*(1 + 2^-18) regardless of how loose the
+    inputs were — multiplication is globally self-reducing and *no
+    conditional subtraction ever appears in hot paths*.
+  * Only canonicalisation (serialize/compare) pays for an exact reduction.
 
-All subtraction goes through an exact borrow-parallel `borrow_sub`, so the
-carry fixer only ever sees non-negative columns.  All functions are pure and
-shape-polymorphic over leading batch dims.
+Static safety budget (callers obey by construction, see module audits):
+value < 2^12 * modulus and limbs < 2^26 at every sub/neg; both hold with
+huge margin in the tower/curve/pairing code where a Montgomery mul
+re-tightens everything every few operations.
 """
 
 from __future__ import annotations
@@ -49,13 +57,37 @@ _MASK = LIMB_MASK
 # ---------------------------------------------------------------------------
 
 
+def _loose_multiple(params: MontgomeryParams, floor_bits: int) -> np.ndarray:
+    """Limbs of some multiple K of the modulus with every limb in
+    [2^floor_bits, 2^floor_bits + 2^16) except a zero top limb — so that
+    K - b is limb-wise non-negative for any b with limbs < 2^floor_bits
+    and zero top limb.  Greedy change-making; exact by construction."""
+    L = params.n_limbs
+    lo = 1 << floor_bits
+    hi = lo + (1 << LIMB_BITS) - 1
+    # minimal total with all limbs at the floor (top limb zero)
+    base = sum(lo << (LIMB_BITS * i) for i in range(L - 1))
+    k = -(-base // params.modulus) + 1
+    K = k * params.modulus
+    assert K < (1 << (LIMB_BITS * (L - 1))) * hi, "K too large to represent"
+    limbs = np.zeros(L, np.int64)
+    rem = K
+    for i in range(L - 2, -1, -1):
+        min_low = sum(lo << (LIMB_BITS * j) for j in range(i))
+        c = min(hi, (rem - min_low) >> (LIMB_BITS * i))
+        assert c >= lo, f"cannot place limb {i}"
+        limbs[i] = c
+        rem -= c << (LIMB_BITS * i)
+    assert rem == 0
+    assert limbs.max() < (1 << 31)
+    return limbs.astype(np.int32)
+
+
 @dataclass(frozen=True)
 class FieldCtx:
     """Frozen per-modulus constants (host ints + device constant arrays)."""
 
     params: MontgomeryParams
-    #: lazy bound multiplier: values live in [0, lazy*modulus)
-    lazy: int
 
     @property
     def L(self) -> int:
@@ -64,11 +96,6 @@ class FieldCtx:
     @functools.cached_property
     def p_limbs(self) -> np.ndarray:
         return np.array(self.params.to_limbs(self.params.modulus), np.int32)
-
-    @functools.cached_property
-    def red_limbs(self) -> np.ndarray:
-        """Limbs of lazy*modulus — the working upper bound."""
-        return np.array(self.params.to_limbs(self.lazy * self.params.modulus), np.int32)
 
     @functools.cached_property
     def np_limbs(self) -> np.ndarray:
@@ -85,6 +112,19 @@ class FieldCtx:
     @functools.cached_property
     def one_plain(self) -> np.ndarray:
         return np.array(self.params.to_limbs(1), np.int32)
+
+    @functools.cached_property
+    def k_subs(self) -> dict[int, np.ndarray]:
+        """K-constant family for raw subtraction, keyed by subtrahend limb
+        bound (log2)."""
+        return {b: _loose_multiple(self.params, b) for b in (17, 22, 26, 28)}
+
+    @functools.cached_property
+    def fold_limbs(self) -> np.ndarray:
+        """2^(16*(L-1)) mod modulus as L limbs (top zero) — used by tighten()
+        to fold a value's top limb back into the low limbs."""
+        v = (1 << (LIMB_BITS * (self.L - 1))) % self.params.modulus
+        return np.array(self.params.to_limbs(v), np.int32)
 
     @functools.cached_property
     def scatter_lohi(self) -> np.ndarray:
@@ -104,16 +144,18 @@ class FieldCtx:
         return self.scatter_lohi[:, : self.L].copy()
 
 
-FP_CTX = FieldCtx(FP_PARAMS, lazy=2)   # R = 2^384 > 4p
-FR_CTX = FieldCtx(FR_PARAMS, lazy=1)   # R = 2^256 < 4r -> keep canonical
-
-_FP = FP_CTX  # convenience aliases for tower code
-_FR = FR_CTX
+FP_CTX = FieldCtx(FP_PARAMS)
+FR_CTX = FieldCtx(FR_PARAMS)
 
 
 def _shift_up(x: jnp.ndarray, k: int = 1) -> jnp.ndarray:
-    """Shift limbs one position up (towards higher significance), zero fill."""
+    """Shift limbs towards higher significance, zero fill."""
     return jnp.concatenate([jnp.zeros_like(x[..., :k]), x[..., :-k]], -1)
+
+
+def _const(arr: np.ndarray, like: jnp.ndarray) -> jnp.ndarray:
+    c = jnp.asarray(arr)
+    return jnp.broadcast_to(c, jnp.broadcast_shapes(like.shape, c.shape))
 
 
 # ---------------------------------------------------------------------------
@@ -150,14 +192,36 @@ def carry_fix(cols: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     return jnp.bitwise_and(total, _MASK), carry_out
 
 
-def borrow_sub(x: jnp.ndarray, y: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Exact x - y for normalized limb arrays (limbs in [0, 2^16)).
+def normalize(a: jnp.ndarray) -> jnp.ndarray:
+    """Loose limbs -> limbs in [0, 2^16) (value preserved; requires value
+    < R, which the static budget guarantees).  NOTE: a normalized value
+    >= 2^(16(L-1)) has a nonzero top limb and must NOT be used as a raw
+    subtrahend — use tighten() for values that keep circulating."""
+    limbs, _ = carry_fix(a)
+    return limbs
 
-    Returns (diff mod 2^(16L) as normalized limbs, borrow flag 0/1).
-    Borrow resolution is the same Kogge-Stone prefix with generate = (x<y)
-    and propagate = (x==y) per limb.
-    """
-    d = x - y                                           # in (-2^16, 2^16)
+
+def tighten(ctx: FieldCtx, a: jnp.ndarray) -> jnp.ndarray:
+    """Re-tighten a loose value to limbs < 2^18 with a ZERO top limb.
+
+    Two passes of carry-normalize + fold-top-limb (t -> t * (2^(16(L-1))
+    mod p)): the first pass may leave limbs up to ~top*2^16, the second
+    collapses them to < 2^16 + 2*2^16.  Valid while the value stays
+    < 2^14 * 2^(16(L-1)) (static budget).  Results are safe raw subtrahends
+    at bmax >= 22."""
+    x = a
+    for _ in range(2):
+        limbs, _ = carry_fix(x)
+        top = limbs[..., -1:]
+        low = jnp.concatenate([limbs[..., :-1], jnp.zeros_like(top)], -1)
+        x = low + top * _const(ctx.fold_limbs, low)
+    return x
+
+
+def borrow_sub(x: jnp.ndarray, y: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact x - y for *normalized* limb arrays.  Returns (diff mod R,
+    borrow flag).  Kogge-Stone borrow prefix."""
+    d = x - y
     g = (d < 0).astype(jnp.int32)
     p = (d == 0).astype(jnp.int32)
     n = d.shape[-1]
@@ -167,10 +231,52 @@ def borrow_sub(x: jnp.ndarray, y: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray
         p = jnp.bitwise_and(p, _shift_up(p, shift))
         shift *= 2
     borrow_out = g[..., -1]
-    bin_ = _shift_up(g)
-    t = d - bin_
+    t = d - _shift_up(g)
     out = jnp.where(t < 0, t + (1 << LIMB_BITS), t)
     return out, borrow_out
+
+
+def cond_sub(ctx: FieldCtx, x: jnp.ndarray, m_limbs: np.ndarray) -> jnp.ndarray:
+    """x - m if x >= m else x; x must be normalized (canonical paths only)."""
+    diff, borrow = borrow_sub(x, _const(m_limbs, x))
+    return jnp.where((borrow != 0)[..., None], x, diff)
+
+
+# ---------------------------------------------------------------------------
+# Raw (loose) ring operations — 1-2 XLA ops each
+# ---------------------------------------------------------------------------
+
+
+def add(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return a + b
+
+
+def sub(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray, bmax: int = 26) -> jnp.ndarray:
+    """a - b + K where K = ctx.k_subs[bmax] dominates b limb-wise.
+
+    Contract: b's limbs < 2^bmax and b's top limb < 2^16.  The default 26
+    covers mul outputs, sums of a few of them, and one nested sub/neg/xi
+    level; pass bmax=28 for two levels.  Tower/curve modules keep circulating
+    values normalized so depth never exceeds two (see tower.py)."""
+    return (a + _const(ctx.k_subs[bmax], a)) - b
+
+
+def neg(ctx: FieldCtx, b: jnp.ndarray, bmax: int = 26) -> jnp.ndarray:
+    return _const(ctx.k_subs[bmax], b) - b
+
+
+def double(ctx: FieldCtx, a: jnp.ndarray) -> jnp.ndarray:
+    return a + a
+
+
+def mul_small(ctx: FieldCtx, a: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Multiply by a small host int 0 <= k; raw limb scale (keep the
+    product of k with the operand's limb bound under 2^31 — fine for the
+    k <= 12 used by curve/pairing formulas on mul outputs)."""
+    assert 0 <= k < (1 << 14)
+    if k == 0:
+        return jnp.zeros_like(a)
+    return a * jnp.int32(k)
 
 
 # ---------------------------------------------------------------------------
@@ -180,8 +286,7 @@ def borrow_sub(x: jnp.ndarray, y: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray
 
 def _mul_cols(a: jnp.ndarray, b: jnp.ndarray, scatter: np.ndarray) -> jnp.ndarray:
     """Column sums of the product a*b through the given scatter matrix.
-
-    a, b: (..., L) int32 limbs < 2^16.  Column values < 2*L*2^16 < 2^22 —
+    Requires normalized operands (limbs < 2^16); column values < 2^22 are
     exact in fp32 accumulation."""
     a, b = jnp.broadcast_arrays(a, b)
     L = a.shape[-1]
@@ -200,83 +305,15 @@ def _mul_cols(a: jnp.ndarray, b: jnp.ndarray, scatter: np.ndarray) -> jnp.ndarra
 
 
 def mul_wide(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Full 2L-limb product, carry-fixed to base 2^16."""
+    """Full 2L-limb product of normalized operands, carry-fixed."""
     limbs, _ = carry_fix(_mul_cols(a, b, ctx.scatter_lohi))
     return limbs
 
 
 def _mul_mod_R(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """(a*b) mod R as L limbs (top-column carry discarded = mod 2^(16L))."""
+    """(a*b) mod R as L limbs (top-column carry discarded)."""
     limbs, _ = carry_fix(_mul_cols(a, b, ctx.scatter_low))
     return limbs
-
-
-def _const(arr: np.ndarray, like: jnp.ndarray) -> jnp.ndarray:
-    c = jnp.asarray(arr)
-    return jnp.broadcast_to(c, like.shape[:-1] + c.shape)
-
-
-# ---------------------------------------------------------------------------
-# Conditional subtraction / add / sub / neg
-# ---------------------------------------------------------------------------
-
-
-def cond_sub(ctx: FieldCtx, x: jnp.ndarray, m_limbs: np.ndarray) -> jnp.ndarray:
-    """x - m if x >= m else x (branchless)."""
-    diff, borrow = borrow_sub(x, _const(m_limbs, x))
-    return jnp.where((borrow != 0)[..., None], x, diff)
-
-
-def add(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """(a + b), inputs < lazy*p, result < lazy*p."""
-    s, _ = carry_fix(a + b)
-    return cond_sub(ctx, s, ctx.red_limbs)
-
-
-def sub(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """(a - b): a + (lazy*p - b), then conditional subtract."""
-    nb, _ = borrow_sub(_const(ctx.red_limbs, b), b)      # lazy*p - b, >= 0
-    return add(ctx, a, nb)
-
-
-def neg(ctx: FieldCtx, b: jnp.ndarray) -> jnp.ndarray:
-    nb, _ = borrow_sub(_const(ctx.red_limbs, b), b)
-    return cond_sub(ctx, nb, ctx.red_limbs)             # b=0 -> lazy*p -> 0
-
-
-def double(ctx: FieldCtx, a: jnp.ndarray) -> jnp.ndarray:
-    return add(ctx, a, a)
-
-
-@functools.lru_cache(maxsize=None)
-def _small_const(ctx: FieldCtx, k: int) -> np.ndarray:
-    p = ctx.params
-    return np.array(p.to_limbs(k * p.R_mod % p.modulus), np.int32)
-
-
-def mul_small(ctx: FieldCtx, a: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Multiply by a small non-negative host int.
-
-    Fast limb-scale path only while k*lazy*p < R (the intermediate must not
-    overflow the L-limb width); otherwise one mont_mul with the Montgomery
-    image of k.
-    """
-    assert k >= 0
-    if k == 0:
-        return jnp.zeros_like(a)
-    if k == 1:
-        return a
-    if k * ctx.lazy * ctx.params.modulus < ctx.params.R:
-        s, _ = carry_fix(a * jnp.int32(k))
-        bound = k * ctx.lazy  # value < bound * p, bound*p < R
-        while bound > ctx.lazy:
-            m = max(bound // 2, ctx.lazy)
-            s = cond_sub(
-                ctx, s, np.array(ctx.params.to_limbs(m * ctx.params.modulus), np.int32)
-            )
-            bound = max(bound - m, m)
-        return s
-    return mont_mul(ctx, a, _const(_small_const(ctx, k), a))
 
 
 # ---------------------------------------------------------------------------
@@ -284,11 +321,23 @@ def mul_small(ctx: FieldCtx, a: jnp.ndarray, k: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def mont_mul(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """REDC(a*b): Montgomery product (TPU analogue of FP_mul,
-    fp_BLS12381.cpp:396-483).  Inputs < lazy*p, output < lazy*p."""
+def mont_mul(
+    ctx: FieldCtx,
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    a_norm: bool = False,
+    b_norm: bool = False,
+) -> jnp.ndarray:
+    """REDC(a*b): Montgomery product of loose inputs.
+
+    Output is normalized limbs with value < modulus * (1 + 2^-18): the
+    large R/modulus ratio makes REDC globally self-reducing (TPU analogue of
+    FP_mul + FP_mod, fp_BLS12381.cpp:396-483, without any final
+    subtraction)."""
     L = ctx.L
-    t = mul_wide(ctx, a, b)
+    an = a if a_norm else normalize(a)
+    bn = b if b_norm else normalize(b)
+    t = mul_wide(ctx, an, bn)
     t_lo, t_hi = t[..., :L], t[..., L:]
     m = _mul_mod_R(ctx, t_lo, _const(ctx.np_limbs, t_lo))
     mp = mul_wide(ctx, m, _const(ctx.p_limbs, m))
@@ -298,25 +347,25 @@ def mont_mul(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     hi_cols = t_hi + mp[..., L:]
     hi_cols = hi_cols.at[..., 0].add(carry)
     out, _ = carry_fix(hi_cols)
-    if ctx.lazy == 1:
-        out = cond_sub(ctx, out, ctx.p_limbs)
     return out
 
 
-def mont_sqr(ctx: FieldCtx, a: jnp.ndarray) -> jnp.ndarray:
-    return mont_mul(ctx, a, a)
+def mont_sqr(ctx: FieldCtx, a: jnp.ndarray, a_norm: bool = False) -> jnp.ndarray:
+    an = a if a_norm else normalize(a)
+    return mont_mul(ctx, an, an, a_norm=True, b_norm=True)
 
 
 # ---------------------------------------------------------------------------
-# Canonicalisation / comparisons
+# Canonicalisation / comparisons (cold paths)
 # ---------------------------------------------------------------------------
 
 
 def reduce_full(ctx: FieldCtx, a: jnp.ndarray) -> jnp.ndarray:
-    """Map from [0, lazy*p) to canonical [0, p) — lazy <= 2 so one
-    conditional subtraction suffices."""
-    assert ctx.lazy <= 2
-    return cond_sub(ctx, a, ctx.p_limbs)
+    """Any loose representative -> canonical [0, p) in the same Montgomery
+    domain: REDC against (R mod p) re-tightens, one conditional subtraction
+    finishes."""
+    t = mont_mul(ctx, a, _const(ctx.one_mont, a))
+    return cond_sub(ctx, t, ctx.p_limbs)
 
 
 def is_zero(ctx: FieldCtx, a: jnp.ndarray) -> jnp.ndarray:
@@ -338,7 +387,8 @@ def to_mont(ctx: FieldCtx, a: jnp.ndarray) -> jnp.ndarray:
 
 def from_mont(ctx: FieldCtx, a: jnp.ndarray) -> jnp.ndarray:
     """Montgomery -> canonical standard-domain limbs in [0, p)."""
-    return reduce_full(ctx, mont_mul(ctx, a, _const(ctx.one_plain, a)))
+    t = mont_mul(ctx, a, _const(ctx.one_plain, a))
+    return cond_sub(ctx, t, ctx.p_limbs)
 
 
 def one(ctx: FieldCtx, batch_shape=()) -> jnp.ndarray:
@@ -365,14 +415,15 @@ def pow_fixed(ctx: FieldCtx, x: jnp.ndarray, e: int) -> jnp.ndarray:
     bit string keeps the compiled graph to one square+select-mul body."""
     if e == 0:
         return one(ctx, x.shape[:-1])
+    xn = normalize(x)
     bits = np.array([int(b) for b in bin(e)[2:]], np.int32)
 
     def body(acc, bit):
-        acc = mont_sqr(ctx, acc)
-        acc_m = mont_mul(ctx, acc, x)
+        acc = mont_sqr(ctx, acc, a_norm=True)
+        acc_m = mont_mul(ctx, acc, xn, a_norm=True, b_norm=True)
         return jnp.where(bit != 0, acc_m, acc), None
 
-    acc, _ = jax.lax.scan(body, x, jnp.asarray(bits[1:]))
+    acc, _ = jax.lax.scan(body, xn, jnp.asarray(bits[1:]))
     return acc
 
 
@@ -395,36 +446,33 @@ def is_qr(ctx: FieldCtx, x: jnp.ndarray) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# Batch inversion (Montgomery's trick): 1 inversion + 3(n-1) muls
+# Batch inversion (Montgomery's trick) for short chains
 # ---------------------------------------------------------------------------
 
 
 def batch_inv(ctx: FieldCtx, x: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
-    """Invert many elements with a single Fermat inversion via prefix
-    products along `axis`.  Zeros map to zero (and do not poison others).
-
-    SURVEY hard-part #5: needed for Jacobian->affine conversions and
-    protocol steps like inverse(gamma+x) at batch.
-    """
+    """Invert along `axis` with one Fermat inversion via prefix products.
+    Zeros map to zero without poisoning the rest.  Best for short axes; for
+    wide batches plain inv() is already fully parallel."""
     x = jnp.moveaxis(x, axis, 0)
-    n = x.shape[0]
-    safe = jnp.where(is_zero(ctx, x)[..., None], one(ctx, x.shape[:-1]), x)
+    zeros = is_zero(ctx, x)
+    safe = jnp.where(zeros[..., None], one(ctx, x.shape[:-1]), normalize(x))
 
     def fwd(carry, xi):
-        nxt = mont_mul(ctx, carry, xi)
-        return nxt, carry  # prefix products, exclusive
+        nxt = mont_mul(ctx, carry, xi, a_norm=True, b_norm=True)
+        return nxt, carry
 
     total, prefix = jax.lax.scan(fwd, one(ctx, x.shape[1:-1]), safe)
     tinv = inv(ctx, total)
 
     def bwd(carry, args):
         xi, pre = args
-        out = mont_mul(ctx, carry, pre)
-        nxt = mont_mul(ctx, carry, xi)
+        out = mont_mul(ctx, carry, pre, a_norm=True, b_norm=True)
+        nxt = mont_mul(ctx, carry, xi, a_norm=True, b_norm=True)
         return nxt, out
 
-    _, outs = jax.lax.scan(bwd, tinv, (safe, prefix), reverse=True)
-    outs = jnp.where(is_zero(ctx, x)[..., None], jnp.zeros_like(outs), outs)
+    _, outs = jax.lax.scan(bwd, normalize(tinv), (safe, prefix), reverse=True)
+    outs = jnp.where(zeros[..., None], jnp.zeros_like(outs), outs)
     return jnp.moveaxis(outs, 0, axis)
 
 
@@ -447,7 +495,7 @@ def from_int(ctx: FieldCtx, values, mont: bool = True) -> jnp.ndarray:
 
 def to_int(ctx: FieldCtx, limbs, mont: bool = True):
     """limb array -> python ints (canonical [0,p)); scalar or object array."""
-    limbs = from_mont(ctx, limbs) if mont else reduce_full(ctx, limbs)
+    limbs = from_mont(ctx, limbs) if mont else reduce_full_std(ctx, limbs)
     arr = np.asarray(limbs)
     shape = arr.shape[:-1]
     if shape == ():
@@ -457,3 +505,9 @@ def to_int(ctx: FieldCtx, limbs, mont: bool = True):
     for i in range(flat.shape[0]):
         out[i] = ctx.params.from_limbs(flat[i])
     return out.reshape(shape)
+
+
+def reduce_full_std(ctx: FieldCtx, a: jnp.ndarray) -> jnp.ndarray:
+    """Canonicalize standard-domain (non-Montgomery) loose limbs: value must
+    already be < ~2p (e.g. fresh from host or from_mont)."""
+    return cond_sub(ctx, normalize(a), ctx.p_limbs)

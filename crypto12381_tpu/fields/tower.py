@@ -41,22 +41,23 @@ def fp2_add(a, b):
     return FP.add(CTX, a, b)
 
 
-def fp2_sub(a, b):
-    return FP.sub(CTX, a, b)
+def fp2_sub(a, b, bmax: int = 26):
+    return FP.sub(CTX, a, b, bmax)
 
 
-def fp2_neg(a):
-    return FP.neg(CTX, a)
+def fp2_neg(a, bmax: int = 26):
+    return FP.neg(CTX, a, bmax)
 
 
 def fp2_conj(a):
     return jnp.stack([a[..., 0, :], FP.neg(CTX, a[..., 1, :])], axis=-2)
 
 
-def fp2_mul_xi(a):
-    """Multiply by xi = 1+i: (re, im) -> (re-im, re+im)."""
+def fp2_mul_xi(a, bmax: int = 26):
+    """Multiply by xi = 1+i: (re, im) -> (re-im, re+im).  bmax bounds the
+    operand's limbs for the raw subtraction (see fp.sub contract)."""
     re, im = a[..., 0, :], a[..., 1, :]
-    return jnp.stack([FP.sub(CTX, re, im), FP.add(CTX, re, im)], axis=-2)
+    return jnp.stack([FP.sub(CTX, re, im, bmax), FP.add(CTX, re, im)], axis=-2)
 
 
 def fp2_mul_small(a, k: int):
@@ -81,8 +82,8 @@ def fp2_mul_many(pairs):
     out = []
     for i in range(len(pairs)):
         t0, t1, t2 = T[..., 3 * i, :], T[..., 3 * i + 1, :], T[..., 3 * i + 2, :]
-        re = FP.sub(CTX, t0, t1)
-        im = FP.sub(CTX, t2, FP.add(CTX, t0, t1))
+        re = FP.sub(CTX, t0, t1, 17)
+        im = FP.sub(CTX, t2, FP.add(CTX, t0, t1), 17)
         out.append(jnp.stack([re, im], axis=-2))
     return out
 
@@ -95,7 +96,7 @@ def fp2_sqr(a):
     """(a0+a1)(a0-a1), 2*a0*a1 — two Fp muls in one call."""
     a0, a1 = a[..., 0, :], a[..., 1, :]
     X = jnp.stack([FP.add(CTX, a0, a1), a0], axis=-2)
-    Y = jnp.stack([FP.sub(CTX, a0, a1), FP.double(CTX, a1)], axis=-2)
+    Y = jnp.stack([FP.sub(CTX, a0, a1, 26), FP.double(CTX, a1)], axis=-2)
     T = FP.mont_mul(CTX, X, Y)
     return T  # already (..., 2, L): [re, im]
 
@@ -105,8 +106,12 @@ def fp2_inv(a):
     T = FP.mont_mul(CTX, jnp.stack([a0, a1], -2), jnp.stack([a0, a1], -2))
     d = FP.add(CTX, T[..., 0, :], T[..., 1, :])
     di = FP.inv(CTX, d)
+    # bmax 17 on the fresh REDC output keeps the negated value small
+    # (~21p): products of two loose operands must stay under the 2^22*p^2
+    # REDC top-limb budget.
     return jnp.stack(
-        [FP.mont_mul(CTX, a0, di), FP.neg(CTX, FP.mont_mul(CTX, a1, di))], axis=-2
+        [FP.mont_mul(CTX, a0, di), FP.neg(CTX, FP.mont_mul(CTX, a1, di), 17)],
+        axis=-2,
     )
 
 
@@ -148,17 +153,17 @@ def fp6_add(a, b):
     return FP.add(CTX, a, b)
 
 
-def fp6_sub(a, b):
-    return FP.sub(CTX, a, b)
+def fp6_sub(a, b, bmax: int = 26):
+    return FP.sub(CTX, a, b, bmax)
 
 
-def fp6_neg(a):
-    return FP.neg(CTX, a)
+def fp6_neg(a, bmax: int = 26):
+    return FP.neg(CTX, a, bmax)
 
 
-def fp6_mul_by_v(a):
+def fp6_mul_by_v(a, bmax: int = 28):
     """(c0,c1,c2) -> (xi*c2, c0, c1)."""
-    return fp6_stack(fp2_mul_xi(_c(a, 2)), _c(a, 0), _c(a, 1))
+    return fp6_stack(fp2_mul_xi(_c(a, 2), bmax), _c(a, 0), _c(a, 1))
 
 
 def _fp6_pairs(a, b):
@@ -176,20 +181,28 @@ def _fp6_pairs(a, b):
 
 
 def _fp6_combine(t):
+    # operands are fp2 products (tier T1: limbs < 2^18); sums of two are
+    # < 2^19 -> K22 floors; nested sub/xi climb the tier ladder 22 -> 26.
     t0, t1, t2, m01, m12, m02 = t
-    c0 = fp2_add(t0, fp2_mul_xi(fp2_sub(m12, fp2_add(t1, t2))))
-    c1 = fp2_add(fp2_sub(m01, fp2_add(t0, t1)), fp2_mul_xi(t2))
-    c2 = fp2_add(fp2_sub(m02, fp2_add(t0, t2)), t1)
+    c0 = fp2_add(t0, fp2_mul_xi(fp2_sub(m12, fp2_add(t1, t2), 22), 26))
+    c1 = fp2_add(fp2_sub(m01, fp2_add(t0, t1), 22), fp2_mul_xi(t2, 22))
+    c2 = fp2_add(fp2_sub(m02, fp2_add(t0, t2), 22), t1)
     return fp6_stack(c0, c1, c2)
 
 
 def fp6_mul_many(pairs):
-    """Batch any number of Fp6 products through one stacked Fp mul."""
+    """Batch any number of Fp6 products through one stacked Fp mul.
+
+    Outputs are tightened (limbs < 2^18, zero top limb, value ~10p): they
+    may be multiplied or subtracted freely downstream."""
     fp2_pairs = []
     for a, b in pairs:
         fp2_pairs += _fp6_pairs(a, b)
     prods = fp2_mul_many(fp2_pairs)
-    return [_fp6_combine(prods[6 * i : 6 * i + 6]) for i in range(len(pairs))]
+    return [
+        FP.tighten(CTX, _fp6_combine(prods[6 * i : 6 * i + 6]))
+        for i in range(len(pairs))
+    ]
 
 
 def fp6_mul(a, b):
@@ -204,11 +217,11 @@ def fp6_inv(a):
     a0, a1, a2 = _c(a, 0), _c(a, 1), _c(a, 2)
     sq = fp2_mul_many([(a0, a0), (a1, a1), (a2, a2), (a1, a2), (a0, a1), (a0, a2)])
     s0, s1, s2, s12, s01, s02 = sq
-    t0 = fp2_sub(s0, fp2_mul_xi(s12))
-    t1 = fp2_sub(fp2_mul_xi(s2), s01)
-    t2 = fp2_sub(s1, s02)
+    t0 = fp2_sub(s0, fp2_mul_xi(s12, 22), 26)   # s's are T1 (< 2^18)
+    t1 = fp2_sub(fp2_mul_xi(s2, 22), s01, 22)
+    t2 = fp2_sub(s1, s02, 22)
     parts = fp2_mul_many([(a0, t0), (a2, t1), (a1, t2)])
-    d = fp2_add(parts[0], fp2_mul_xi(fp2_add(parts[1], parts[2])))
+    d = fp2_add(parts[0], fp2_mul_xi(fp2_add(parts[1], parts[2]), 22))
     di = fp2_inv(d)
     outs = fp2_mul_many([(t0, di), (t1, di), (t2, di)])
     return fp6_stack(*outs)
@@ -241,29 +254,30 @@ def fp12_mul(x, y):
     t0, t1, m = fp6_mul_many(
         [(a0, b0), (a1, b1), (fp6_add(a0, a1), fp6_add(b0, b1))]
     )
-    c0 = fp6_add(t0, fp6_mul_by_v(t1))
-    c1 = fp6_sub(m, fp6_add(t0, t1))
-    return fp12_stack(c0, c1)
+    c0 = fp6_add(t0, fp6_mul_by_v(t1, 22))
+    c1 = fp6_sub(m, fp6_add(t0, t1), 22)
+    return FP.tighten(CTX, fp12_stack(c0, c1))
 
 
 def fp12_sqr(x):
     """Complex-squaring style: c0 = (a+b)(a+vb) - m - vm, c1 = 2m with
     m = a*b — 2 Fp6 muls."""
     a, b = _h(x, 0), _h(x, 1)
-    t, m = fp6_mul_many([(fp6_add(a, b), fp6_add(a, fp6_mul_by_v(b))), (a, b)])
-    c0 = fp6_sub(t, fp6_add(m, fp6_mul_by_v(m)))
+    t, m = fp6_mul_many([(fp6_add(a, b), fp6_add(a, fp6_mul_by_v(b, 22))), (a, b)])
+    c0 = fp6_sub(t, fp6_add(m, fp6_mul_by_v(m, 22)), 26)
     c1 = fp6_add(m, m)
-    return fp12_stack(c0, c1)
+    return FP.tighten(CTX, fp12_stack(c0, c1))
 
 
 def fp12_conj(x):
-    return fp12_stack(_h(x, 0), fp6_neg(_h(x, 1)))
+    """Conjugation; output tightened (it feeds squaring chains in fexp)."""
+    return FP.tighten(CTX, fp12_stack(_h(x, 0), fp6_neg(_h(x, 1), 22)))
 
 
 def fp12_inv(x):
     a, b = _h(x, 0), _h(x, 1)
     t0, t1 = fp6_mul_many([(a, a), (b, b)])
-    d = fp6_sub(t0, fp6_mul_by_v(t1))
+    d = FP.tighten(CTX, fp6_sub(t0, fp6_mul_by_v(t1, 22), 26))
     di = fp6_inv(d)
     o0, o1 = fp6_mul_many([(a, di), (b, di)])
     return fp12_stack(o0, fp6_neg(o1))

@@ -1,0 +1,124 @@
+"""Batched constant-time hash-to-G1 map on TPU.
+
+TPU-native counterpart of the reference's ECP_map2point + ECP_cfp
+(ecp_BLS12381.cpp:1495-1633, 1252-1273): simplified SWU with Z=11 onto the
+11-isogenous curve, isogeny rational maps, effective-cofactor clearing.
+Fully branchless: the QR/non-QR candidate choice is a select, and
+sqrt(Z*w) for the non-residue branch is derived from the same power chain
+via the precomputed constant sqrt(-Z) (valid because p = 3 mod 4 makes -1 a
+non-residue, so w NQR => -w QR and Zw = (-w)(-Z) with both factors QR).
+
+Bit-exact against pyref/sswu.py (which is oracle-validated).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..curves import g1 as G1
+from ..fields import fp as FP
+from ..params import ISO11_A, ISO11_B, P, SSWU_Z
+from ..pyref.sswu import iso11_tables
+
+CTX = FP.FP_CTX
+
+
+@functools.lru_cache(maxsize=1)
+def _consts():
+    """Host-side Montgomery constants."""
+    mont = lambda v: np.array(
+        CTX.params.to_limbs(v % P * CTX.params.R_mod % P), np.int32
+    )
+    sqrt_negz = pow((-SSWU_Z) % P, (P + 1) // 4, P)
+    assert sqrt_negz * sqrt_negz % P == (-SSWU_Z) % P
+    xnum, xden, ynum, yden = iso11_tables()
+    return {
+        "A": mont(ISO11_A),
+        "B": mont(ISO11_B),
+        "negB": mont(-ISO11_B),
+        "sqrt_negz": mont(sqrt_negz),
+        "xnum": [mont(c) for c in xnum],
+        "xden": [mont(c) for c in xden],
+        "ynum": [mont(c) for c in ynum],
+        "yden": [mont(c) for c in yden],
+    }
+
+
+def _m(a, b):
+    return FP.mont_mul(CTX, a, b)
+
+
+def _mc(a, cname, consts, like=None):
+    return FP.mont_mul(CTX, a, jnp.asarray(consts[cname]))
+
+
+def map2point(u):
+    """u: Fp limbs (..., L) in Montgomery domain (canonical-ish).  Returns a
+    projective G1 point (X, Y, Z) on E (before cofactor clearing)."""
+    cs = _consts()
+    u_std = FP.from_mont(CTX, u)
+    sgn = FP.parity_std(u_std)
+    u2 = _m(u, u)
+    t = FP.mul_small(CTX, u2, SSWU_Z)
+    w = _m(FP.add(CTX, t, FP.one(CTX, t.shape[:-1])), t)       # t^2 + t
+    D = _mc(w, "A", cs)
+    w1 = FP.add(CTX, w, FP.one(CTX, w.shape[:-1]))
+    N = _mc(w1, "negB", cs)                                    # -B'(w+1)
+    X2 = N
+    X3 = _m(t, X2)
+    # gx1 = (X2^2 + A D^2) X2 + B D^3   (numerator of g(x1) D^3)
+    X2sq, Dsq = _m(X2, X2), _m(D, D)
+    AD2 = _mc(Dsq, "A", cs)
+    gx1 = _m(FP.add(CTX, X2sq, AD2), X2)
+    D3 = _m(Dsq, D)
+    gx1 = FP.add(CTX, gx1, _mc(D3, "B", cs))
+    w3 = _m(gx1, D)
+    # s1 = w3^((p+1)/4); QR test via verification (avoids a second pow)
+    s1 = FP.sqrt(CTX, w3)
+    qr = FP.eq(CTX, _m(s1, s1), w3)
+    w3_inv = FP.inv(CTX, w3)
+    Dinv = _m(w3_inv, gx1)                                     # 1/D
+    x_qr = _m(X2, Dinv)
+    x_nqr = _m(X3, Dinv)
+    D2 = _m(Dinv, Dinv)
+    y_qr = _m(s1, D2)
+    u3 = FP.mul_small(CTX, _m(u2, u), SSWU_Z)                  # Z u^3
+    s2 = _m(s1, jnp.asarray(cs["sqrt_negz"]))                  # sqrt(Z w3)
+    y_nqr = _m(s2, _m(D2, u3))
+    qrm = qr[..., None]
+    X = jnp.where(qrm, x_qr, x_nqr)
+    Y = jnp.where(qrm, y_qr, y_nqr)
+    # sign correction: parity(Y) == parity(u)
+    y_std = FP.from_mont(CTX, Y)
+    ne = jnp.bitwise_xor(FP.parity_std(y_std), sgn)
+    Y = jnp.where(ne[..., None] != 0, FP.neg(CTX, Y, 17), Y)
+    # 11-isogeny rational maps (Horner, highest-degree coefficient first)
+    def horner(coeffs, lead_is_x: bool):
+        if lead_is_x:
+            acc = FP.add(CTX, X, jnp.asarray(coeffs[0]))
+            rest = coeffs[1:]
+        else:
+            acc = jnp.broadcast_to(jnp.asarray(coeffs[0]), X.shape)
+            rest = coeffs[1:]
+        for c in rest:
+            acc = FP.add(CTX, _m(acc, X), jnp.asarray(c))
+        return acc
+
+    xnum = horner(cs["xnum"], False)
+    xden = horner(cs["xden"], True)
+    ynum = horner(cs["ynum"], False)
+    yden = horner(cs["yden"], True)
+    ynum = _m(ynum, Y)
+    Xo = _m(xnum, yden)
+    Yo = _m(ynum, xden)
+    Zo = _m(xden, yden)
+    return (Xo, Yo, Zo)
+
+
+def hash_field_to_g1(u):
+    """Full wrapper-semantics hash-to-G1 from a field element: map2point then
+    effective-cofactor clearing (g1_point.hpp:203-218)."""
+    return G1.clear_cofactor(map2point(u))

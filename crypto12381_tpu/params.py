@@ -201,5 +201,9 @@ class MontgomeryParams:
         return acc
 
 
-FP_PARAMS = MontgomeryParams("fp", P, 24)   # 384-bit capacity for 381-bit p
-FR_PARAMS = MontgomeryParams("fr", R, 16)   # 256-bit capacity for 255-bit r
+# One limb of headroom beyond the modulus width buys a large R/modulus ratio
+# (2^19 for Fp, 2^33 for Fr): Montgomery REDC then contracts any loose value
+# back under ~1.001*modulus, so additions/subtractions never need their own
+# reductions (see fields/fp.py range discipline).
+FP_PARAMS = MontgomeryParams("fp", P, 25)   # R = 2^400, p = 381 bits
+FR_PARAMS = MontgomeryParams("fr", R, 18)   # R = 2^288, r = 255 bits
