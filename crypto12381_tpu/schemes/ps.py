@@ -1,0 +1,164 @@
+"""Pointcheval-Sanders signatures (single, multi-message, sequential
+aggregate).
+
+Capability counterpart of the reference's examples/ps
+(src/ps.cpp:6-147, include/ps.hpp): identical algorithms, RNG draw order and
+byte formats, so seeded flows are bit-compatible.  All key/signature
+material is plain `bytes` in the reference's serialized layouts.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ..api.sets import (G1, G2, Zp, encode_to, hash_, pair, parse, product_,
+                        select_in, serialize, sum_)
+from ..api.elements import G1Pow, ZpNumber
+
+__all__ = [
+    "Keys", "KeysN", "As",
+    "key_gen", "key_gen_n", "sign", "sign_n", "verify", "verify_n",
+    "randomnize",
+]
+
+
+@dataclass
+class Keys:
+    sk: bytes  # Zp^2
+    pk: bytes  # G2^3
+
+
+def key_gen(random) -> Keys:
+    """ref src/ps.cpp:6-15."""
+    g2 = select_in(~G2, random)
+    x, y = select_in(~Zp ** 2, random)
+    return Keys(sk=serialize(x, y), pk=serialize(g2, g2**x, g2**y))
+
+
+def sign(sk: bytes, message: bytes, random) -> bytes:
+    """ref src/ps.cpp:17-24: sigma = (h, h^(x + y m)), m = H(message)."""
+    x, y = parse(Zp ** 2, sk)
+    m = hash_(message).to(Zp)
+    h = select_in(~G1, random)
+    return serialize(h, h ** (x + y * m))
+
+
+def verify(pk: bytes, message: bytes, signature: bytes) -> bool:
+    """ref src/ps.cpp:26-33: e(s1, X2 Y2^m) == e(s2, g2)."""
+    g2, X2, Y2 = parse(G2 ** 3, pk)
+    m = hash_(message).to(Zp)
+    s1, s2 = parse(G1 ** 2, signature)
+    return pair(s1, X2 * (Y2**m)) == pair(s2, g2)
+
+
+def randomnize(signature: bytes, random) -> bytes:
+    """ref src/ps.cpp:35-40."""
+    s1, s2 = parse(G1 ** 2, signature)
+    r = select_in(~Zp, random)
+    return serialize(s1**r, s2**r)
+
+
+# ------------------------------------------------------------- multi-message
+
+
+@dataclass
+class KeysN:
+    x: bytes          # Zp
+    y: list           # [Zp bytes]
+    g2: bytes         # G2
+    X2: bytes         # G2
+    Y2: list          # [G2 bytes]
+
+
+def key_gen_n(n: int, random) -> KeysN:
+    """ref src/ps.cpp:42-66 (same draw order: g2, x, then y_i each)."""
+    g2 = select_in(~G2, random)
+    x = select_in(~Zp, random)
+    X2 = g2**x
+    ys, Y2s = [], []
+    for _ in range(n):
+        y = select_in(~Zp, random)
+        ys.append(serialize(y))
+        Y2s.append(serialize(g2**y))
+    return KeysN(x=serialize(x), y=ys, g2=serialize(g2), X2=serialize(X2), Y2=Y2s)
+
+
+def sign_n(sk: KeysN, message: bytes, random) -> bytes:
+    """ref src/ps.cpp:68-82: h^(x + sum y_i m_i) with encode_to units."""
+    m = encode_to(Zp, message)
+    n = len(m)
+    if n > len(sk.y):
+        raise ValueError("message is too long")
+    x = parse(Zp, sk.x)
+    y = [parse(Zp, b) for b in sk.y]
+    h = select_in(~G1, random)
+    expo = x + sum_(y[i] * m[i] for i in range(n))
+    return serialize(h, h**expo)
+
+
+def verify_n(pk: KeysN, message: bytes, signature: bytes) -> bool:
+    """ref src/ps.cpp:84-99: e(s1, X2 prod Y2_i^m_i) == e(s2, g2)."""
+    m = encode_to(Zp, message)
+    n = len(m)
+    if n > len(pk.Y2):
+        raise ValueError("message is too long")
+    g2 = parse(G2, pk.g2)
+    X2 = parse(G2, pk.X2)
+    Y2 = [parse(G2, b) for b in pk.Y2]
+    s1, s2 = parse(G1 ** 2, signature)
+    acc = product_([Y2[i] ** m[i] for i in range(n)])
+    return pair(s1, X2 * acc) == pair(s2, g2)
+
+
+# --------------------------------------------------- sequential aggregate As
+
+
+class As:
+    """Sequential aggregate PS (ref src/ps.cpp:101-147, include/ps.hpp As)."""
+
+    def __init__(self, pp: bytes):
+        self.pp = pp  # G1^2 | G2^2
+
+    @classmethod
+    def setup(cls, random) -> "As":
+        g1 = select_in(~G1, random)
+        g2 = select_in(~G2, random)
+        x = select_in(~Zp, random)
+        return cls(pp=serialize(g1, g1**x, g2, g2**x))
+
+    def key_gen(self, random):
+        g1, X1, g2, X2 = parse(G1 ** 2, G2 ** 2, self.pp)
+        y = select_in(Zp, random)
+        return serialize(y), serialize(g2**y)  # (sk, pk)
+
+    def sign_no_check(self, sk: bytes, message: bytes, signature: bytes, random) -> bytes:
+        m = hash_(message).to(Zp)
+        y = parse(Zp, sk)
+        s1, s2 = parse(G1 ** 2, signature)
+        t = select_in(Zp, random)
+        return serialize(s1**t, (s2 * (s1 ** (y * m))) ** t)
+
+    def sign(self, keys, message: bytes, pks, messages, signature: bytes, random) -> bytes:
+        sk, pk = keys
+        if len(pks) == 0:
+            # the default signature is pp's leading G1^2 bytes (g1, X1) —
+            # ref include/ps.hpp:68-71 overlays pp.default_signature on pp
+            return self.sign_no_check(sk, message, self.pp[:98], random)
+        if not self.verify(pks, messages, signature):
+            raise ValueError("invalid signature")
+        if any(p == pk for p in pks):
+            raise ValueError("repetitive pk")
+        return self.sign_no_check(sk, message, signature, random)
+
+    def verify(self, pks, messages, signature: bytes) -> bool:
+        g1, X1, g2, X2 = parse(G1 ** 2, G2 ** 2, self.pp)
+        Y2 = [parse(G2, b) for b in pks]
+        r = len(messages)
+        m = [hash_(_as_bytes(messages[i])).to(Zp) for i in range(r)]
+        s1, s2 = parse(G1 ** 2, signature)
+        acc = product_([Y2[i] ** m[i] for i in range(r)])
+        return pair(s1, X2 * acc) == pair(s2, g2)
+
+
+def _as_bytes(m) -> bytes:
+    return m.encode() if isinstance(m, str) else bytes(m)
