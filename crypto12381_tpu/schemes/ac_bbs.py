@@ -1,0 +1,113 @@
+"""Anonymous credentials with selective disclosure over BBS.
+
+Counterpart of the reference's examples/AC-bbs (keygen/issue/pres/verify):
+commitments C_I/C_J over disclosed/hidden attribute index sets, blinded
+opening proof, 2-condition pairing verify.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ..api.sets import (G1, G2, Zp, hash_, inverse, pair, parse, product_,
+                        select_in, serialize)
+
+__all__ = ["Keys", "PublicKey", "PresInfo", "keygen", "generate_attributes",
+           "issue", "pres", "verify"]
+
+
+@dataclass
+class PublicKey:
+    fixed_part: bytes   # G1 | G2^2  (g, tilde_g, tilde_X)
+    Y: list             # [G1 bytes]
+
+
+@dataclass
+class Keys:
+    sk: bytes           # Zp (x)
+    pk: PublicKey
+
+
+@dataclass
+class PresInfo:
+    fixed_part: bytes   # G1^3 | Zp^2  (A_, B_, U, s, t)
+    u: list             # [Zp bytes]
+
+
+def keygen(n: int, random) -> Keys:
+    g = select_in(~G1, random)
+    tg = select_in(~G2, random)
+    x = select_in(Zp, random)
+    tX = tg**x
+    Y = select_in(~G1, random, n)
+    return Keys(
+        sk=serialize(x),
+        pk=PublicKey(fixed_part=serialize(g, tg, tX), Y=[serialize(y) for y in Y]),
+    )
+
+
+def generate_attributes(pk: PublicKey, n: int, random) -> list[bytes]:
+    return [serialize(a) for a in select_in(Zp, random, n)]
+
+
+def issue(keys: Keys, attr: list[bytes], random) -> bytes:
+    x = parse(Zp, keys.sk)
+    g, tg, tX = parse(G1, G2 ** 2, keys.pk.fixed_part)
+    Y = [parse(G1, b) for b in keys.pk.Y]
+    a = [parse(Zp, b) for b in attr]
+    n = len(a)
+    w = select_in(~Zp, random)
+    A = (g * product_([Y[i] ** a[i] for i in range(n)])) ** inverse(x + w)
+    return serialize(A, w)
+
+
+def pres(m: bytes, attr: list[bytes], sig: bytes, I, pk: PublicKey, random) -> PresInfo:
+    g, tg, tX = parse(G1, G2 ** 2, pk.fixed_part)
+    Y = [parse(G1, b) for b in pk.Y]
+    a = [parse(Zp, b) for b in attr]
+    n = len(a)
+    A, w = parse(G1, Zp, sig)
+    J = [i for i in range(n) if i not in I]
+
+    C_I = g * product_([Y[i] ** a[i] for i in I])
+    C_J = product_([Y[j] ** a[j] for j in J])
+
+    r = select_in(Zp, random)
+    A_ = A**r
+    B_ = ((C_I * C_J) ** r) * (A_ ** (-w))
+
+    alpha, beta = select_in(Zp ** 2, random)
+    delta = select_in(Zp, random, len(J))
+
+    U = (C_I**alpha) * (A_**beta) * product_(
+        [Y[J[j]] ** delta[j] for j in range(len(J))]
+    )
+
+    c = hash_(m, A_, B_, U).to(Zp)
+
+    s = alpha + r * c
+    t = beta + (-w) * c
+    u = [delta[j] + r * c * a[J[j]] for j in range(len(J))]
+
+    return PresInfo(
+        fixed_part=serialize(A_, B_, U, s, t), u=[serialize(x) for x in u]
+    )
+
+
+def verify(m: bytes, attr: list[bytes], I, presinfo: PresInfo, pk: PublicKey) -> bool:
+    g, tg, tX = parse(G1, G2 ** 2, pk.fixed_part)
+    Y = [parse(G1, b) for b in pk.Y]
+    a = [parse(Zp, b) for b in attr]
+    n = len(a)
+    A_, B_, U, s, t = parse(G1 ** 3, Zp ** 2, presinfo.fixed_part)
+    u = [parse(Zp, b) for b in presinfo.u]
+    J = [i for i in range(n) if i not in I]
+
+    c = hash_(m, A_, B_, U).to(Zp)
+
+    cond1 = pair(A_, tX) == pair(B_, tg)
+    lhs = U * (B_**c)
+    rhs = ((g * product_([Y[i] ** a[i] for i in I])) ** s) * (A_**t) * product_(
+        [Y[J[j]] ** u[j] for j in range(len(J))]
+    )
+    return cond1 and lhs == rhs

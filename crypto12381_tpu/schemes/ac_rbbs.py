@@ -1,0 +1,147 @@
+"""Redactable BBS anonymous credentials.
+
+Counterpart of the reference's examples/AC-rbbs: key ladders Y[k]=g^(y^k+1),
+redact cache with q-vector hash challenges and cross-term multi-exps,
+3-condition pairing verify.  Notes kept bit-compatible:
+  * the q challenges hash the disclosed attributes then the index i as the
+    reference's raw size_t bytes (8-byte little-endian);
+  * Y[n] is never written by the reference's keygen ladder (zero bytes) and
+    never used (its valid_i set is empty) — we parse Y entries lazily to
+    reproduce that without decoding the zero placeholder.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from ..api.sets import (G1, G2, Zp, hash_, inverse, pair, parse, product_,
+                        select_in, serialize)
+
+__all__ = ["Keys", "PublicKey", "keygen", "generate_attributes", "issue",
+           "redact", "pres", "verify"]
+
+
+@dataclass
+class PublicKey:
+    fixed_part: bytes   # G1 | G2^2
+    Y: list             # [G1 bytes] length 2n (slot n is zero bytes)
+    tilde_Y: list       # [G2 bytes] length n
+
+
+@dataclass
+class Keys:
+    sk: bytes           # Zp^2 (x, y)
+    pk: PublicKey
+
+
+def keygen(n: int, random) -> Keys:
+    g = select_in(~G1, random)
+    tg = select_in(~G2, random)
+    x, y = select_in(Zp ** 2, random)
+    tX = tg**x
+    Y = [bytes(49)] * (2 * n)
+    tY = [b""] * n
+    yn = y
+    for i in range(2 * n):
+        if i < n:
+            tY[i] = serialize(tg**yn)
+        if i != n:
+            Y[i] = serialize(g**yn)
+        yn = yn * y
+    return Keys(
+        sk=serialize(x, y),
+        pk=PublicKey(fixed_part=serialize(g, tg, tX), Y=Y, tilde_Y=tY),
+    )
+
+
+def generate_attributes(pk: PublicKey, n: int, random) -> list[bytes]:
+    return [serialize(a) for a in select_in(Zp, random, n)]
+
+
+def issue(keys: Keys, attr: list[bytes], random) -> bytes:
+    x, y = parse(Zp ** 2, keys.sk)
+    g, tg, tX = parse(G1, G2 ** 2, keys.pk.fixed_part)
+    a = [parse(Zp, b) for b in attr]
+    n = len(a)
+    w = select_in(~Zp, random)
+    Yp = [parse(G1, keys.pk.Y[i]) for i in range(n)]
+    A = (g * product_([Yp[i] ** a[i] for i in range(n)])) ** inverse(x + w)
+    return serialize(A, w)
+
+
+def _q_challenges(a, I, n):
+    """q[i] = hash(a[j] for j in I, i).to(Zp) — i hashed as the reference's
+    trivially-copyable size_t (8 bytes little-endian)."""
+    base = serialize(*[a[j] for j in I])
+    return [
+        hash_(base, int(i).to_bytes(8, "little")).to(Zp) for i in range(n)
+    ]
+
+
+def redact(attr: list[bytes], sig: bytes, I, pk: PublicKey):
+    g, tg, tX = parse(G1, G2 ** 2, pk.fixed_part)
+    a = [parse(Zp, b) for b in attr]
+    n = len(a)
+    A, w = parse(G1, Zp, sig)
+    J = [i for i in range(n) if i not in I]
+
+    Yc = {}
+
+    def Y(k):
+        if k not in Yc:
+            Yc[k] = parse(G1, pk.Y[k])
+        return Yc[k]
+
+    C_I = g * product_([Y(i) ** a[i] for i in I])
+    B = C_I * (A ** (-w))
+    C_J = product_([Y(j) ** a[j] for j in J])
+    q = _q_challenges(a, I, n)
+
+    terms = []
+    for k in range(2 * n):
+        valid_i = [i for i in I if 0 <= (k - n + i) < n and (k - n + i) in J]
+        if valid_i:
+            acc = None
+            for i in valid_i:
+                term = q[i] * a[k - n + i]
+                acc = term if acc is None else acc + term
+            terms.append(Y(k) ** acc)
+    D = product_(terms)
+
+    return serialize(C_I, C_J, B, D)
+
+
+def pres(m: bytes, sig: bytes, redact_cache: bytes, random) -> bytes:
+    A, w = parse(G1, Zp, sig)
+    C_I, C_J, B, D = parse(G1 ** 4, redact_cache)
+    r = select_in(Zp, random)
+    A_ = A**r
+    B_ = B**r
+    C_J_ = C_J**r
+    D_ = D**r
+    alpha, beta = select_in(Zp ** 2, random)
+    U = (C_I**alpha) * (A_**beta)
+    c = hash_(m, A_, B_, C_J_, D_, U).to(Zp)
+    s = alpha + r * c
+    t = beta + (-w) * c
+    return serialize(A_, B_, C_J_, D_, U, s, t)
+
+
+def verify(m: bytes, attr: list[bytes], I, presinfo: bytes, pk: PublicKey) -> bool:
+    g, tg, tX = parse(G1, G2 ** 2, pk.fixed_part)
+    a = [parse(Zp, b) for b in attr]
+    n = len(a)
+    A_, B_, C_J_, D_, U, s, t = parse(G1 ** 5, Zp ** 2, presinfo)
+    c = hash_(m, A_, B_, C_J_, D_, U).to(Zp)
+    q = _q_challenges(a, I, n)
+
+    Y = {i: parse(G1, pk.Y[i]) for i in I}
+    tY = {i: parse(G2, pk.tilde_Y[n - 1 - i]) for i in I}
+
+    cond1 = pair(A_, tX) == pair(C_J_ * B_, tg)
+    lhs2 = U * (B_**c)
+    rhs2 = ((g * product_([Y[i] ** a[i] for i in I])) ** s) * (A_**t)
+    cond2 = lhs2 == rhs2
+    acc = product_([tY[i] ** q[i] for i in I])
+    cond3 = pair(C_J_, acc) == pair(D_, tg)
+    return cond1 and cond2 and cond3

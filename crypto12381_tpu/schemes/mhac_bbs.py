@@ -1,0 +1,283 @@
+"""MHAC-BBS: multi-holder anonymous credentials with threshold shares.
+
+Counterpart of the reference's examples/MHAC-bbs (7 source files): Shamir
+sharing of the BBS `e`, Lagrange interpolation in the exponent, masked
+multi-party presentations and a 2-pairing verify.  Index conventions follow
+the reference's test flow exactly (private attribute shares are stored
+party-major: shares[party][prv_attr]).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from ..api.sets import (G1, G2, Zp, hash_, inverse, make_Zp, pair, parse,
+                        polynomial, product_, select_in, serialize)
+from ..api.elements import ZpNumber
+from . import bbs
+
+__all__ = ["IssSetupResult", "Creds", "AttributesInfo", "PresGroup",
+           "PresType", "Pres", "iss_setup", "generate_attributes",
+           "cred_iss", "make_pres_group", "make_pres_type", "cred_pres",
+           "verify_pres"]
+
+
+@dataclass
+class IssSetupResult:
+    pp: bbs.PublicParameters
+    keys: bbs.Keys
+
+
+@dataclass
+class AttributesInfo:
+    public_attributes: list            # [Zp bytes] in Pub order
+    private_attributes_share: list     # [party][prv_attr] Zp bytes
+    commitments: list                  # [G1 bytes] per party
+
+
+@dataclass
+class Creds:
+    A: bytes
+    e_share: list
+    D: list
+
+
+@dataclass
+class PresGroup:
+    S: list
+    lam: list      # [Zp bytes]
+    D: bytes
+
+
+@dataclass
+class PresType:
+    Rev: list
+    C_rev: bytes
+    C_pub: bytes
+
+
+@dataclass
+class Pres:
+    fixed_part: bytes   # G1^2 | Zp^3  (A_, B_, ch, zr, ze)
+    z: list
+    z_hid_pub: list
+
+
+def iss_setup(m: int, random) -> IssSetupResult:
+    pp = bbs.setup(m, random)
+    keys = bbs.key_gen(pp, random)
+    return IssSetupResult(pp=pp, keys=keys)
+
+
+def _pub_of(m, Prv):
+    return [i for i in range(m) if i not in Prv]
+
+
+def generate_attributes(pp, t: int, n: int, Prv, random) -> AttributesInfo:
+    """ref src/generate_attributes.cpp: per-private-attribute Shamir
+    polynomials + per-party commitments."""
+    h = [parse(G1, b) for b in pp.h]
+    m = len(h)
+    Pub = _pub_of(m, Prv)
+    attr = select_in(Zp, random, m)
+    a = select_in(Zp, random, len(Prv) * (t - 1))
+    # shares[ii][k] = poly_ii(k+1); stored party-major below
+    shares = [
+        [
+            polynomial(k + 1, attr[Prv[ii]], a[ii * (t - 1) : (ii + 1) * (t - 1)])
+            for k in range(n)
+        ]
+        for ii in range(len(Prv))
+    ]
+    C = [
+        product_([h[Prv[ii]] ** shares[ii][k] for ii in range(len(Prv))])
+        for k in range(n)
+    ]
+    return AttributesInfo(
+        public_attributes=[serialize(attr[i]) for i in Pub],
+        private_attributes_share=[
+            [serialize(shares[ii][k]) for ii in range(len(Prv))]
+            for k in range(n)
+        ],
+        commitments=[serialize(c) for c in C],
+    )
+
+
+def cred_iss(pp, sk: bytes, t: int, commitments, Pub, public_attributes,
+             random) -> Creds:
+    """ref src/cred_iss.cpp:44-85: BBS-sign the Lagrange-combined
+    commitment, then Shamir-share e and build per-party D_i."""
+    g1, g2 = parse(G1, G2, pp.g1_g2)
+    h = [parse(G1, b) for b in pp.h]
+    gamma = parse(Zp, sk)
+    n = len(commitments)
+    C = [parse(G1, b) for b in commitments]
+    pub_a = [parse(Zp, b) for b in public_attributes]
+
+    # C_a = g1 * prod C[i]^lambda_i (x = 1..t) * prod h[Pub]^pub_a
+    x = [make_Zp(i) for i in range(1, t + 1)]
+    lam = []
+    for i in range(t):
+        li = ZpNumber(1)
+        for j in range(t):
+            if j != i:
+                li = li * (-x[j] / (x[i] - x[j]))
+        lam.append(li)
+    C_a = g1 * product_([C[i] ** lam[i] for i in range(t)]) * product_(
+        [h[Pub[ii]] ** pub_a[ii] for ii in range(len(Pub))]
+    )
+
+    e = select_in(Zp, random)
+    A = C_a ** inverse(gamma + e)
+
+    a = select_in(Zp, random, t - 1)
+    e_share = [polynomial(i, e, a) for i in range(1, n + 1)]
+    D = [C[i] * (A ** (-e_share[i])) for i in range(n)]
+
+    return Creds(
+        A=serialize(A),
+        e_share=[serialize(s) for s in e_share],
+        D=[serialize(d) for d in D],
+    )
+
+
+def make_pres_group(creds: Creds, S) -> PresGroup:
+    """ref src/make_pres_group.cpp: Lagrange in the exponent over party
+    subset S (evaluation points S[k]+1)."""
+    D_share = [parse(G1, b) for b in creds.D]
+    t = len(S)
+    x = [make_Zp(i + 1) for i in S]
+    lam = []
+    for k in range(t):
+        lk = ZpNumber(1)
+        for y in range(t):
+            if y != k:
+                lk = lk * (-x[y] / (x[k] - x[y]))
+        lam.append(lk)
+    D = product_([D_share[S[k]] ** lam[k] for k in range(t)])
+    return PresGroup(S=list(S), lam=[serialize(l) for l in lam], D=serialize(D))
+
+
+def make_pres_type(pp, Rev, Prv, public_attributes) -> PresType:
+    """ref src/make_pres_type.cpp."""
+    g1, g2 = parse(G1, G2, pp.g1_g2)
+    h = [parse(G1, b) for b in pp.h]
+    m = len(h)
+    pub_a = [parse(Zp, b) for b in public_attributes]
+    Pub = _pub_of(m, Prv)
+    Hid = [i for i in range(m) if i not in Rev]
+    I_Pub_in_Rev = [i for i in range(len(Pub)) if Pub[i] in Rev]
+    I_Pub_in_Hid = [i for i in range(len(Pub)) if Pub[i] in Hid]
+
+    C_rev = g1 * product_([h[Pub[ii]] ** pub_a[ii] for ii in I_Pub_in_Rev]) \
+        if I_Pub_in_Rev else g1.point()
+    C_pub = C_rev * product_([h[Pub[ii]] ** pub_a[ii] for ii in I_Pub_in_Hid]) \
+        if I_Pub_in_Hid else C_rev
+    return PresType(Rev=list(Rev), C_rev=serialize(C_rev), C_pub=serialize(C_pub))
+
+
+def cred_pres(pp, creds: Creds, group: PresGroup, ptype: PresType, Prv,
+              public_attributes, attr_shares, random) -> Pres:
+    """ref src/cred_pres.cpp: multi-share ZK response aggregation with the
+    aggregator at j = 0."""
+    g1, g2 = parse(G1, G2, pp.g1_g2)
+    h = [parse(G1, b) for b in pp.h]
+    m = len(h)
+    A = parse(G1, creds.A)
+    e_share = [parse(Zp, b) for b in creds.e_share]
+    S = group.S
+    lam = [parse(Zp, b) for b in group.lam]
+    D = parse(G1, group.D)
+    Rev = ptype.Rev
+    C_rev = parse(G1, ptype.C_rev)
+    C_pub = parse(G1, ptype.C_pub)
+    pub_a = [parse(Zp, b) for b in public_attributes]
+    a_share = [[parse(Zp, b) for b in row] for row in attr_shares]
+
+    Pub = _pub_of(m, Prv)
+    Hid = [i for i in range(m) if i not in Rev]
+    HidPub = [i for i in Hid if i not in Prv]
+    I_Pub_in_Rev = [i for i in range(len(Pub)) if Pub[i] in Rev]
+    t = len(S)
+    j = 0
+
+    r = select_in(Zp, random)
+    A_ = A**r
+    B_ = (C_pub * D) ** r
+
+    alpha = select_in(Zp, random)
+    beta_share = select_in(Zp, random, (t - 1) * len(Prv))
+    beta_share_j = select_in(Zp, random, len(Hid))
+    gamma_share = select_in(Zp, random, t)
+
+    def beta_k(k):  # slice for k in [1, t)
+        return beta_share[(k - 1) * len(Prv) : k * len(Prv)]
+
+    Uj = (C_rev**alpha) * product_(
+        [h[Hid[ii]] ** beta_share_j[ii] for ii in range(len(Hid))]
+    ) * (A_ ** gamma_share[j])
+
+    Uks = [
+        product_([h[Prv[ii]] ** beta_k(k)[ii] for ii in range(len(Prv))])
+        * (A_ ** gamma_share[k])
+        for k in range(1, t)
+    ]
+    U = Uj * product_(Uks) if Uks else Uj
+
+    ch = hash_(U, A_, B_, [pub_a[ii] for ii in I_Pub_in_Rev]).to(Zp)
+
+    # responses (aggregator j=0 uses beta_share_j; parties k>=1 their slices)
+    z = []
+    for ii in range(len(Prv)):
+        acc = beta_share_j[ii] + ch * (r * a_share[S[j]][ii] * lam[j])
+        for k in range(1, t):
+            acc = acc + beta_k(k)[ii] + ch * (r * a_share[S[k]][ii] * lam[k])
+        z.append(acc)
+    ze = None
+    for k in range(t):
+        term = gamma_share[k] + ch * (-e_share[S[k]] * lam[k])
+        ze = term if ze is None else ze + term
+    zr = alpha + ch * r
+
+    I_Pub_in_HidPub = [i for i in range(len(Pub)) if Pub[i] in HidPub]
+    I_Hid_in_HidPub = [i for i in range(len(Hid)) if Hid[i] in HidPub]
+    z_hid_pub = [
+        beta_share_j[I_Hid_in_HidPub[ii]] + ch * (pub_a[I_Pub_in_HidPub[ii]] * r)
+        for ii in range(len(HidPub))
+    ]
+
+    return Pres(
+        fixed_part=serialize(A_, B_, ch, zr, ze),
+        z=[serialize(v) for v in z],
+        z_hid_pub=[serialize(v) for v in z_hid_pub],
+    )
+
+
+def verify_pres(pp, pk: bytes, ptype: PresType, Prv, public_attributes,
+                pres: Pres) -> bool:
+    """ref src/verify_pres.cpp."""
+    g1, g2 = parse(G1, G2, pp.g1_g2)
+    h = [parse(G1, b) for b in pp.h]
+    w = parse(G2, pk)
+    Rev = ptype.Rev
+    C_rev = parse(G1, ptype.C_rev)
+    pub_a = [parse(Zp, b) for b in public_attributes]
+    A_, B_, ch, zr, ze = parse(G1 ** 2, Zp ** 3, pres.fixed_part)
+    z = [parse(Zp, b) for b in pres.z]
+    z_hid_pub = [parse(Zp, b) for b in pres.z_hid_pub]
+
+    m = len(h)
+    Hid = [i for i in range(m) if i not in Rev]
+    Hid_Pub = [i for i in Hid if i not in Prv]
+    Pub = _pub_of(m, Prv)
+    I_Pub_in_Rev = [i for i in range(len(Pub)) if Pub[i] in Rev]
+
+    C_hid = product_(
+        [h[Prv[ii]] ** z[ii] for ii in range(len(Prv))]
+        + [h[Hid_Pub[ii]] ** z_hid_pub[ii] for ii in range(len(Hid_Pub))]
+    )
+    U = (B_ ** (-ch)) * (C_rev**zr) * C_hid * (A_**ze)
+
+    ok_ch = ch == hash_(U, A_, B_, [pub_a[ii] for ii in I_Pub_in_Rev]).to(Zp)
+    ok_pair = pair(A_, w) == pair(B_, g2)
+    return ok_ch and ok_pair
