@@ -18,12 +18,41 @@ specification for tests.
 
 from __future__ import annotations
 
+import ctypes
 import hashlib
+import pathlib
+import subprocess
 
 _NK = 21
 _NJ = 6
 _NV = 8
 _M32 = 0xFFFFFFFF
+
+
+def _load_native():
+    """Optional native backend (cpp/compat_csprng.c) for bulk streams."""
+    root = pathlib.Path(__file__).parents[2] / "cpp"
+    so = root / "libcrypto12381_compat.so"
+    if not so.exists():
+        try:
+            subprocess.run(
+                ["make", "-C", str(root)], capture_output=True, check=True
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(str(so))
+        lib.crypto12381_csprng_size.restype = ctypes.c_int
+        lib.crypto12381_csprng_seed.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int]
+        lib.crypto12381_csprng_bytes.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_long]
+        return lib
+    except OSError:
+        return None
+
+
+_NATIVE = _load_native()
 
 
 class RandomEngine:
@@ -101,6 +130,10 @@ class RandomEngine:
             self._fill_pool()
         return r
 
+    def rand_bytes(self, n: int) -> bytes:
+        """Bulk byte stream (used by batched protocol runs)."""
+        return bytes(self.rand_byte() for _ in range(n))
+
     def random_mod(self, q: int) -> int:
         """BIG_randomnum: 2*nbits(q) bits, first-drawn bit most significant,
         reduced mod q."""
@@ -123,5 +156,44 @@ class RandomEngine:
         return self.random_mod(q - 1) + 1
 
 
-def create_random_engine(seed: bytes | str) -> RandomEngine:
+class NativeRandomEngine:
+    """ctypes wrapper over the C twin (cpp/compat_csprng.c) — identical
+    stream, used for bulk generation.  Falls back to RandomEngine when the
+    shared library is unavailable."""
+
+    def __init__(self, seed: bytes | str):
+        if isinstance(seed, str):
+            seed = seed.encode()
+        self._state = ctypes.create_string_buffer(
+            _NATIVE.crypto12381_csprng_size()
+        )
+        _NATIVE.crypto12381_csprng_seed(self._state, seed, len(seed))
+
+    def rand_bytes(self, n: int) -> bytes:
+        out = ctypes.create_string_buffer(n)
+        _NATIVE.crypto12381_csprng_bytes(self._state, out, n)
+        return out.raw
+
+    def rand_byte(self) -> int:
+        return self.rand_bytes(1)[0]
+
+    def random_mod(self, q: int) -> int:
+        n = 2 * q.bit_length()
+        nbytes = (n + 7) // 8
+        raw = self.rand_bytes(nbytes)
+        d = 0
+        bit_i = 0
+        for _ in range(n):
+            b = (raw[bit_i // 8] >> (bit_i % 8)) & 1
+            d = (d << 1) + b
+            bit_i += 1
+        return d % q
+
+    def random_mod_nonzero(self, q: int) -> int:
+        return self.random_mod(q - 1) + 1
+
+
+def create_random_engine(seed: bytes | str, native: bool = False):
+    if native and _NATIVE is not None:
+        return NativeRandomEngine(seed)
     return RandomEngine(seed)

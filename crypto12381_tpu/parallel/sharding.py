@@ -1,0 +1,126 @@
+"""Multi-chip execution over a jax.sharding.Mesh.
+
+The reference is strictly single-process (SURVEY §2.4: no threads, no
+distributed backend).  This module is the scaling axis the TPU build adds:
+points/scalars/pairing batches shard across a device mesh with shard_map,
+partial results ride ICI through XLA collectives (all_gather of tiny
+per-device partials; no NCCL/MPI analogue is needed because XLA provides
+the transport).
+
+Patterns:
+  * sharded MSM — each device Pippengers its point shard, the D partial
+    points are all-gathered (D * one point of traffic) and combined with a
+    log-tree of complete adds, replicated on every device;
+  * sharded multi-pairing — per-device Miller products, all_gather, local
+    Fp12 product, one shared final exponentiation;
+  * sharded batched pairing — embarrassingly parallel, output stays
+    sharded.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as PS
+from jax.experimental.shard_map import shard_map
+
+from ..curves import g1 as G1
+from ..curves import weierstrass as W
+from ..fields import tower as TW
+from ..msm import pippenger as MSM
+from ..pairing import pairing as PAIR
+
+AXIS = "d"
+
+
+def default_mesh(devices: Sequence | None = None) -> Mesh:
+    devs = list(devices) if devices is not None else jax.devices()
+    return Mesh(devs, (AXIS,))
+
+
+def _tree_reduce_points(ops, stacked, e_ndim):
+    """(D, 3, *elem) stacked points -> one point tuple via log-tree adds."""
+    D = stacked.shape[0]
+    while D > 1:
+        half = D // 2
+        rest = stacked[2 * half :]
+        a = MSM._unstack(stacked[:half], e_ndim)
+        b = MSM._unstack(stacked[half : 2 * half], e_ndim)
+        s = MSM._stack(W.add(ops, a, b), e_ndim)
+        stacked = jnp.concatenate([s, rest], 0) if rest.shape[0] else s
+        D = stacked.shape[0]
+    return MSM._unstack(stacked[0], e_ndim)
+
+
+def sharded_msm(mesh: Mesh, points, scalars_std, ops=None, c: int = 6,
+                lanes: int = 256):
+    """MSM with points/scalars sharded over the mesh's AXIS.
+
+    points: projective (X, Y, Z) of (n, *elem); n divisible by
+    (#devices * lanes).  Returns a replicated projective point tuple.
+    """
+    ops = ops or G1.ops()
+    e_ndim = ops.elem_ndim
+    pspec = PS(AXIS)
+
+    def local(X, Y, Z, s):
+        part = MSM.msm((X, Y, Z), s, ops, c=c, lanes=lanes)
+        stacked = MSM._stack(part, e_ndim)            # (3, *elem)
+        allp = jax.lax.all_gather(stacked, AXIS)      # (D, 3, *elem)
+        return MSM._stack(_tree_reduce_points(ops, allp, e_ndim), e_ndim)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(pspec, pspec, pspec, pspec),
+        out_specs=PS(),
+        check_rep=False,
+    )
+    out = fn(points[0], points[1], points[2], scalars_std)
+    return MSM._unstack(out, e_ndim)
+
+
+def sharded_multi_pairing(mesh: Mesh, p_affs, q_affs):
+    """prod_i e(P_i, Q_i) with the pair batch sharded over the mesh.
+
+    p_affs: (x, y) Fp arrays (n, L); q_affs: (X, Y) Fp2 arrays (n, 2, L).
+    Per-device Miller products combine via all_gather + local Fp12 product;
+    the final exponentiation runs once on the replicated product.
+    """
+
+    def local(px, py, qx, qy):
+        f = PAIR.multi_miller((px, py), (qx, qy))     # (2,3,2,L)
+        allf = jax.lax.all_gather(f, AXIS)            # (D, 2,3,2,L)
+        D = allf.shape[0]
+        acc = allf[0]
+        for i in range(1, D):
+            acc = TW.fp12_mul(acc, allf[i])
+        return PAIR.final_exp(acc)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(PS(AXIS), PS(AXIS), PS(AXIS), PS(AXIS)),
+        out_specs=PS(),
+        check_rep=False,
+    )
+    return fn(p_affs[0], p_affs[1], q_affs[0], q_affs[1])
+
+
+def sharded_batched_pairing(mesh: Mesh, p_affs, q_affs):
+    """Elementwise e(P_i, Q_i) for a sharded batch; output stays sharded."""
+
+    def local(px, py, qx, qy):
+        return PAIR.pairing_affine((px, py), (qx, qy))
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(PS(AXIS), PS(AXIS), PS(AXIS), PS(AXIS)),
+        out_specs=PS(AXIS),
+        check_rep=False,
+    )
+    return fn(p_affs[0], p_affs[1], q_affs[0], q_affs[1])

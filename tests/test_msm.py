@@ -1,0 +1,57 @@
+"""MSM differential tests vs the exact oracle (tiny parameters on CPU)."""
+
+import random
+
+import jax
+import numpy as np
+
+from crypto12381_tpu.curves import g1 as G1
+from crypto12381_tpu.fields import fp as FP
+from crypto12381_tpu.msm import pippenger as MSM
+from crypto12381_tpu.params import R
+from crypto12381_tpu.pyref import curve as C
+
+rng = random.Random(77)
+
+
+def test_window_digits():
+    e = rng.randrange(R)
+    arr = FP.from_int(FP.FR_CTX, [e], mont=False)
+    for c in (4, 6, 8, 13):
+        d = np.asarray(MSM.window_digits(arr, c))[0]
+        K = -(-255 // c)
+        expect = [(e >> (k * c)) & ((1 << c) - 1) for k in range(K)]
+        assert d.tolist() == expect, f"c={c}"
+
+
+def test_msm_g1_small():
+    n = 16
+    ks = [rng.randrange(R) for _ in range(n)]
+    scalars = [rng.randrange(R) for _ in range(n)]
+    pts_ref = [C.g1_mul(C.G1_GEN, k) for k in ks]
+    P = G1.from_affine_ints([p[0] for p in pts_ref], [p[1] for p in pts_ref])
+    s = FP.from_int(FP.FR_CTX, scalars, mont=False)
+    res = jax.jit(
+        lambda P, s: MSM.msm(P, s, G1.ops(), c=4, lanes=8)
+    )(P, s)
+    got = G1.to_affine_ints(res)
+    expect = None
+    for p, k in zip(pts_ref, scalars):
+        expect = C.g1_add(expect, C.g1_mul(p, k))
+    assert got == expect
+
+
+def test_msm_with_padding_and_zero_scalars():
+    n = 5
+    ks = [rng.randrange(R) for _ in range(n)]
+    scalars = [rng.randrange(R) for _ in range(n - 1)] + [0]
+    pts_ref = [C.g1_mul(C.G1_GEN, k) for k in ks]
+    P = G1.from_affine_ints([p[0] for p in pts_ref], [p[1] for p in pts_ref])
+    s = FP.from_int(FP.FR_CTX, scalars, mont=False)
+    P, s = MSM.pad_inputs(P, s, 8, G1.ops())
+    res = jax.jit(lambda P, s: MSM.msm(P, s, G1.ops(), c=5, lanes=8))(P, s)
+    got = G1.to_affine_ints(res)
+    expect = None
+    for p, k in zip(pts_ref, scalars):
+        expect = C.g1_add(expect, C.g1_mul(p, k))
+    assert got == expect

@@ -1,0 +1,63 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import random
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from crypto12381_tpu.compat import codec
+from crypto12381_tpu.curves import g1 as G1
+from crypto12381_tpu.fields import fp as FP
+from crypto12381_tpu.fields import tower as TW
+from crypto12381_tpu.parallel import sharding as SH
+from crypto12381_tpu.params import R
+from crypto12381_tpu.pyref import curve as C
+from crypto12381_tpu.pyref import field as PF
+from crypto12381_tpu.pyref import pairing as PR
+
+rng = random.Random(31)
+
+
+def test_mesh_has_8_devices():
+    mesh = SH.default_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_sharded_msm():
+    mesh = SH.default_mesh()
+    n = 32  # 8 devices * lanes=2 * 2 steps
+    ks = [rng.randrange(R) for _ in range(n)]
+    scalars = [rng.randrange(R) for _ in range(n)]
+    pts_ref = [C.g1_mul(C.G1_GEN, k) for k in ks]
+    P = G1.from_affine_ints([p[0] for p in pts_ref], [p[1] for p in pts_ref])
+    s = FP.from_int(FP.FR_CTX, scalars, mont=False)
+    res = SH.sharded_msm(mesh, P, s, c=8, lanes=2)
+    got = G1.to_affine_ints(res)
+    expect = None
+    for p, k in zip(pts_ref, scalars):
+        expect = C.g1_add(expect, C.g1_mul(p, k))
+    assert got == expect
+
+
+def test_sharded_multi_pairing():
+    mesh = SH.default_mesh()
+    n = 8
+    pas = [rng.randrange(1, R) for _ in range(n)]
+    qbs = [rng.randrange(1, R) for _ in range(n)]
+    g1s = [C.g1_mul(C.G1_GEN, a) for a in pas]
+    g2s = [C.g2_mul(C.G2_GEN, b) for b in qbs]
+    px = FP.from_int(FP.FP_CTX, [p[0] for p in g1s])
+    py = FP.from_int(FP.FP_CTX, [p[1] for p in g1s])
+    qx = jnp.stack(
+        [FP.from_int(FP.FP_CTX, [q[0][0] for q in g2s]),
+         FP.from_int(FP.FP_CTX, [q[0][1] for q in g2s])], -2)
+    qy = jnp.stack(
+        [FP.from_int(FP.FP_CTX, [q[1][0] for q in g2s]),
+         FP.from_int(FP.FP_CTX, [q[1][1] for q in g2s])], -2)
+    e = SH.sharded_multi_pairing(mesh, (px, py), (qx, qy))
+    # expected: e(g,h)^(sum a_i b_i)
+    expo = sum(a * b for a, b in zip(pas, qbs)) % R
+    base = PR.pairing(C.G1_GEN, C.G2_GEN)
+    expect = PF.fp12_pow(base, expo)
+    assert TW.fp12_to_pyref(e) == PF._fp12_canon(expect)

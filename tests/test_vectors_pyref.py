@@ -106,3 +106,18 @@ def test_hash_to_zp():
     d = hashlib.sha3_512(b"abc").digest()
     v = int.from_bytes(d, "big") % params.R
     assert v == int(H("hash_zp_abc"), 16)
+
+
+def test_native_csprng_matches_python_and_oracle():
+    pytest.importorskip("ctypes")
+    from crypto12381_tpu.compat.csprng import (NativeRandomEngine,
+                                               RandomEngine, _NATIVE)
+
+    if _NATIVE is None:
+        pytest.skip("native compat library not built")
+    py = RandomEngine("seed")
+    nat = NativeRandomEngine("seed")
+    assert py.rand_bytes(256) == nat.rand_bytes(256)
+    py2, nat2 = RandomEngine("another"), NativeRandomEngine("another")
+    for _ in range(3):
+        assert py2.random_mod(params.R) == nat2.random_mod(params.R)
