@@ -284,35 +284,39 @@ def mul_small(ctx: FieldCtx, a: jnp.ndarray, k: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _mul_cols(a: jnp.ndarray, b: jnp.ndarray, scatter: np.ndarray) -> jnp.ndarray:
-    """Column sums of the product a*b through the given scatter matrix.
-    Requires normalized operands (limbs < 2^16); column values < 2^22 are
-    exact in fp32 accumulation."""
+def _mul_cols(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Schoolbook column sums of a*b as 2L int32 columns (< 2^22).
+
+    Streaming shift-add formulation: L broadcast multiplies, each split
+    into 16-bit halves and accumulated at static offsets.  Never
+    materializes an (batch, L, L) outer product (a 25x memory/bandwidth
+    blow-up that XLA does not reliably fuse away), and keeps everything in
+    integer lanes.  Requires normalized operands (limbs < 2^16)."""
     a, b = jnp.broadcast_arrays(a, b)
     L = a.shape[-1]
     batch = a.shape[:-1]
-    prod = a[..., :, None].astype(jnp.uint32) * b[..., None, :].astype(jnp.uint32)
-    lo = jnp.bitwise_and(prod, jnp.uint32(_MASK)).astype(jnp.float32)
-    hi = jnp.right_shift(prod, jnp.uint32(LIMB_BITS)).astype(jnp.float32)
-    flat = jnp.concatenate([lo.reshape(*batch, L * L), hi.reshape(*batch, L * L)], -1)
-    cols = jax.lax.dot_general(
-        flat,
-        jnp.asarray(scatter),
-        (((flat.ndim - 1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    return cols.astype(jnp.int32)
+    au = a.astype(jnp.uint32)
+    bu = b.astype(jnp.uint32)
+    c = jnp.zeros(batch + (2 * L,), jnp.int32)
+    for j in range(L):
+        p = au * bu[..., j : j + 1]                       # exact, < 2^32
+        lo = jnp.bitwise_and(p, jnp.uint32(_MASK)).astype(jnp.int32)
+        hi = jnp.right_shift(p, jnp.uint32(LIMB_BITS)).astype(jnp.int32)
+        c = c.at[..., j : j + L].add(lo)
+        c = c.at[..., j + 1 : j + 1 + L].add(hi)
+    return c
 
 
 def mul_wide(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Full 2L-limb product of normalized operands, carry-fixed."""
-    limbs, _ = carry_fix(_mul_cols(a, b, ctx.scatter_lohi))
+    limbs, _ = carry_fix(_mul_cols(a, b))
     return limbs
 
 
 def _mul_mod_R(ctx: FieldCtx, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """(a*b) mod R as L limbs (top-column carry discarded)."""
-    limbs, _ = carry_fix(_mul_cols(a, b, ctx.scatter_low))
+    L = ctx.L
+    limbs, _ = carry_fix(_mul_cols(a, b)[..., :L])
     return limbs
 
 
