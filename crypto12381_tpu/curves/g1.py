@@ -107,7 +107,15 @@ def on_curve(p):
 
 
 def scalar_mul(p, e_std, n_bits: int = 255):
-    """e_std: standard-domain Fr limbs (..., 16)."""
+    """[e]P; e_std: standard-domain Fr limbs (..., 18).  Uses the 2-dim GLV
+    ladder (128 doubles + 128 adds) — the plain double-and-add remains as
+    scalar_mul_plain for differential tests."""
+    from . import endo
+
+    return endo.glv_mul_g1(ops(), p, e_std)
+
+
+def scalar_mul_plain(p, e_std, n_bits: int = 255):
     return W.scalar_mul(ops(), p, e_std, n_bits)
 
 

@@ -72,8 +72,9 @@ def identity(batch=()):
 
 
 def from_affine_fp2(x_pair, y_pair):
-    """Host Fp2 int pairs (re, im) -> one device point."""
-    return (_fp2_from_ints(x_pair), _fp2_from_ints(y_pair), TW.fp2_one(()))
+    """Host Fp2 int pairs (re, im) — scalars or lists — to device points."""
+    x = _fp2_from_ints(x_pair)
+    return (x, _fp2_from_ints(y_pair), TW.fp2_one(x.shape[:-2]))
 
 
 # -- group ops ---------------------------------------------------------------
@@ -104,6 +105,14 @@ def on_curve(p):
 
 
 def scalar_mul(p, e_std, n_bits: int = 255):
+    """[e]Q via the 4-dim Galbraith-Scott ladder (64 doubles + 64 adds);
+    scalar_mul_plain keeps the generic ladder for differential tests."""
+    from . import endo
+
+    return endo.gs_mul_g2(ops(), p, e_std)
+
+
+def scalar_mul_plain(p, e_std, n_bits: int = 255):
     return W.scalar_mul(ops(), p, e_std, n_bits)
 
 

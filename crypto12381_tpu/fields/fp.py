@@ -288,22 +288,34 @@ def _mul_cols(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Schoolbook column sums of a*b as 2L int32 columns (< 2^22).
 
     Streaming shift-add formulation: L broadcast multiplies, each split
-    into 16-bit halves and accumulated at static offsets.  Never
-    materializes an (batch, L, L) outer product (a 25x memory/bandwidth
-    blow-up that XLA does not reliably fuse away), and keeps everything in
-    integer lanes.  Requires normalized operands (limbs < 2^16)."""
+    into 16-bit halves and accumulated at offset j.  Never materializes an
+    (batch, L, L) outer product (a 25x memory/bandwidth blow-up that XLA
+    does not reliably fuse away), and keeps everything in integer lanes.
+    The j-loop is a lax.scan (one dynamic-update-slice body) so the HLO
+    stays ~L-times smaller than an unrolled loop — graph size is what
+    bounds XLA compile time for the pairing/MSM super-graphs built on top.
+    Requires normalized operands (limbs < 2^16)."""
     a, b = jnp.broadcast_arrays(a, b)
     L = a.shape[-1]
     batch = a.shape[:-1]
     au = a.astype(jnp.uint32)
     bu = b.astype(jnp.uint32)
-    c = jnp.zeros(batch + (2 * L,), jnp.int32)
-    for j in range(L):
-        p = au * bu[..., j : j + 1]                       # exact, < 2^32
+
+    def body(c, j):
+        bj = jax.lax.dynamic_slice_in_dim(bu, j, 1, axis=-1)
+        p = au * bj                                       # exact, < 2^32
         lo = jnp.bitwise_and(p, jnp.uint32(_MASK)).astype(jnp.int32)
         hi = jnp.right_shift(p, jnp.uint32(LIMB_BITS)).astype(jnp.int32)
-        c = c.at[..., j : j + L].add(lo)
-        c = c.at[..., j + 1 : j + 1 + L].add(hi)
+        pad = jnp.zeros_like(lo[..., :1])
+        seg = jnp.concatenate([lo, pad], -1) + jnp.concatenate([pad, hi], -1)
+        cur = jax.lax.dynamic_slice_in_dim(c, j, L + 1, axis=-1)
+        return (
+            jax.lax.dynamic_update_slice_in_dim(c, cur + seg, j, axis=-1),
+            None,
+        )
+
+    c0 = jnp.zeros(batch + (2 * L,), jnp.int32)
+    c, _ = jax.lax.scan(body, c0, jnp.arange(L))
     return c
 
 

@@ -101,6 +101,18 @@ def fp2_sqr(a):
     return T  # already (..., 2, L): [re, im]
 
 
+def fp2_sqr_many(elems):
+    """Squares of a list of Fp2 elements — 2 Fp muls each, all in one
+    stacked mont_mul (same trick as fp2_mul_many)."""
+    xs, ys = [], []
+    for a in elems:
+        a0, a1 = a[..., 0, :], a[..., 1, :]
+        xs += [FP.add(CTX, a0, a1), a0]
+        ys += [FP.sub(CTX, a0, a1, 26), FP.double(CTX, a1)]
+    T = FP.mont_mul(CTX, jnp.stack(xs, axis=-2), jnp.stack(ys, axis=-2))
+    return [T[..., 2 * i : 2 * i + 2, :] for i in range(len(elems))]
+
+
 def fp2_inv(a):
     a0, a1 = a[..., 0, :], a[..., 1, :]
     T = FP.mont_mul(CTX, jnp.stack([a0, a1], -2), jnp.stack([a0, a1], -2))
@@ -266,6 +278,52 @@ def fp12_sqr(x):
     t, m = fp6_mul_many([(fp6_add(a, b), fp6_add(a, fp6_mul_by_v(b, 22))), (a, b)])
     c0 = fp6_sub(t, fp6_add(m, fp6_mul_by_v(m, 22)), 26)
     c1 = fp6_add(m, m)
+    return FP.tighten(CTX, fp12_stack(c0, c1))
+
+
+def fp12_usqr(x):
+    """Cyclotomic (Granger-Scott) squaring — valid ONLY for elements of the
+    cyclotomic subgroup (e.g. anything past the easy final-exp part, i.e.
+    all reduced-pairing values).  9 Fp2 squarings = 18 Fp muls, vs 30 for
+    the dense fp12_sqr.  TPU counterpart of FP12_usqr
+    (fp12_BLS12381.cpp:236-282).
+
+    Uses the three Fp4 subalgebras spanned by (1, w^3): with a=(a0,a1,a2),
+    b=(b0,b1,b2) the pairs are (a0,b1), (b0,a2), (a1,b2); an Fp4 square
+    (A,B) -> (A^2 + xi B^2, 2AB) and the cyclotomic identity reassemble the
+    full square from the 9 component squares.
+    """
+    a, b = _h(x, 0), _h(x, 1)
+    a0, a1, a2 = _c(a, 0), _c(a, 1), _c(a, 2)
+    b0, b1, b2 = _c(b, 0), _c(b, 1), _c(b, 2)
+    sq = fp2_sqr_many(
+        [
+            b1, a0, fp2_add(b1, a0),
+            a2, b0, fp2_add(a2, b0),
+            b2, a1, fp2_add(b2, a1),
+        ]
+    )
+    t0, t1, s01, t2, t3, s23, t4, t5, s45 = sq
+    # cross terms 2*X*Y = (X+Y)^2 - X^2 - Y^2   (all operands tier T1)
+    t6 = fp2_sub(s01, fp2_add(t0, t1), 22)            # 2 a0 b1
+    t7 = fp2_sub(s23, fp2_add(t2, t3), 22)            # 2 a2 b0
+    t8 = fp2_mul_xi(fp2_sub(s45, fp2_add(t4, t5), 22), 26)  # 2 xi a1 b2
+    # Fp4 square real parts: xi*B^2 + A^2
+    u0 = fp2_add(fp2_mul_xi(t0, 22), t1)              # xi b1^2 + a0^2
+    u2 = fp2_add(fp2_mul_xi(t2, 22), t3)              # xi a2^2 + b0^2
+    u4 = fp2_add(fp2_mul_xi(t4, 22), t5)              # xi b2^2 + a1^2
+    two = lambda z: FP.add(CTX, z, z)
+    three = lambda z: FP.add(CTX, two(z), z)
+    c0 = fp6_stack(
+        fp2_sub(three(u0), two(a0), 26),
+        fp2_sub(three(u2), two(a1), 26),
+        fp2_sub(three(u4), two(a2), 26),
+    )
+    c1 = fp6_stack(
+        fp2_add(three(t8), two(b0)),
+        fp2_add(three(t6), two(b1)),
+        fp2_add(three(t7), two(b2)),
+    )
     return FP.tighten(CTX, fp12_stack(c0, c1))
 
 

@@ -162,38 +162,37 @@ def miller_loop(p_aff, q_aff):
     qx, qy = p_aff
     Px, Py = q_aff
     batch = qx.shape[:-1]
-    g2ops = G2.ops()
     NPy = TW.fp2_neg(Py)
-    A = (Px, Py, TW.fp2_one(batch))
-    f = TW.fp12_one(batch)
+    one2 = TW.fp2_one(batch)
+    A0 = (Px, Py, one2)
+    f0 = TW.fp12_one(batch)
 
-    def dbl_step(carry, _):
+    # ONE scan over the whole digit schedule: the add-step runs under a
+    # scalar lax.cond (taken on the 6 nonzero digits only), so the Miller
+    # loop compiles a single small body instead of unrolled segments —
+    # compile time is graph-size-bound for this super-graph.
+    digits = np.asarray(_digits(), np.int32)
+
+    def add_step(op):
+        f, A, sgn = op
+        pay = jnp.where((sgn > 0).reshape((1,) * (Py.ndim)), Py, NPy)
+        line = _line_add(A, (Px, pay), qx, qy)
+        f = _mul_sparse(f, line)
+        A = G2.add(A, (Px, pay, one2))
+        return f, A
+
+    def step(carry, d):
         f, A = carry
         f = TW.fp12_sqr(f)
         line = _line_dbl(A, qx, qy)
         f = _mul_sparse(f, line)
         A = G2.double(A)
+        f, A = jax.lax.cond(
+            d != 0, add_step, lambda op: (op[0], op[1]), (f, A, d)
+        )
         return (f, A), None
 
-    digits = _digits()
-    i = 0
-    while i < len(digits):
-        if digits[i] == 0:
-            run = 0
-            while i < len(digits) and digits[i] == 0:
-                run += 1
-                i += 1
-            (f, A), _ = jax.lax.scan(dbl_step, (f, A), None, length=run)
-        else:
-            (f, A), _ = dbl_step((f, A), None)
-            sgn = digits[i]
-            Pa = (Px, Py) if sgn == 1 else (Px, NPy)
-            line = _line_add(A, Pa, qx, qy)
-            f = _mul_sparse(f, line)
-            Aff = (Pa[0], Pa[1], TW.fp2_one(batch))
-            A = G2.add(A, Aff)
-            i += 1
-
+    (f, _), _ = jax.lax.scan(step, (f0, A0), jnp.asarray(digits))
     return TW.fp12_conj(f)  # SIGN_OF_X = NEGATIVEX
 
 
@@ -203,11 +202,15 @@ def miller_loop(p_aff, q_aff):
 
 
 def _pow_abs_x(g):
-    """g^|x| by square-and-select-multiply over the 64 static bits."""
+    """g^|x| by square-and-select-multiply over the 64 static bits.
+
+    Operands are cyclotomic (everything after the easy part), so the
+    squarings are Granger-Scott fp12_usqr (18 Fp muls vs 30 dense —
+    reference analogue FP12_usqr in PAIR_fexp)."""
     bits = np.array([int(b) for b in bin(X_ABS)[2:]], np.int32)
 
     def body(acc, bit):
-        acc = TW.fp12_sqr(acc)
+        acc = TW.fp12_usqr(acc)
         accm = TW.fp12_mul(acc, g)
         mask = (bit != 0)
         return jnp.where(
@@ -277,3 +280,45 @@ def multi_miller(p_affs, q_affs):
 def multi_pairing(p_affs, q_affs):
     """e(P1,Q1) * e(P2,Q2) * ... over leading axis with one final exp."""
     return final_exp(multi_miller(p_affs, q_affs))
+
+
+# ---------------------------------------------------------------------------
+# GT exponentiation (Galbraith-Scott 4-dim, cyclotomic squarings)
+# ---------------------------------------------------------------------------
+
+
+def gt_pow(f, e_std):
+    """f^e for f in GT (any reduced-pairing value) and e_std standard-domain
+    Fr limbs (..., 18) — the batched analogue of PAIR_GTpow
+    (pair_BLS12381.cpp:986-1032).
+
+    Uses e = sum_i d_i |x|^i with Frobenius as the endomorphism
+    (frob(f) = f^p = f^x on the r-torsion; conjugation = inversion in the
+    cyclotomic subgroup): 64 usqr + 64 mul ladder over a 16-entry table.
+    """
+    from ..ops import scalar_decomp as SD
+
+    batch = f.shape[:-4]
+    digits = SD.gs_split(e_std)                      # (..., 4, 4)
+    f1 = TW.fp12_conj(TW.fp12_frob(f, 1))
+    f2 = TW.fp12_frob(f, 2)
+    f3 = TW.fp12_conj(TW.fp12_frob(f, 3))
+    table = [TW.fp12_one(batch)]
+    for i, b in enumerate([f, f1, f2, f3]):
+        table += [TW.fp12_mul(t, b) for t in table[: 1 << i]]
+    T = jnp.stack(table, axis=0)                     # (16, ..., 2,3,2,L)
+    bits = SD.bits_msb_first(digits, SD.GS_BITS)     # (64, ..., 4)
+    weights = jnp.asarray([1, 2, 4, 8], jnp.int32)
+    idxs = jnp.sum(bits * weights, axis=-1)          # (64, ...)
+
+    def step(acc, idx):
+        acc = TW.fp12_usqr(acc)
+        rest = T.ndim - 1 - idx.ndim
+        idxe = jnp.broadcast_to(
+            idx.reshape((1,) + idx.shape + (1,) * rest), (1,) + T.shape[1:]
+        )
+        entry = jnp.take_along_axis(T, idxe, axis=0)[0]
+        return TW.fp12_mul(acc, entry), None
+
+    acc, _ = jax.lax.scan(step, TW.fp12_one(batch), idxs)
+    return acc

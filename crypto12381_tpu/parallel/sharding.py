@@ -72,13 +72,13 @@ def sharded_msm(mesh: Mesh, points, scalars_std, ops=None, c: int = 6,
         allp = jax.lax.all_gather(stacked, AXIS)      # (D, 3, *elem)
         return MSM._stack(_tree_reduce_points(ops, allp, e_ndim), e_ndim)
 
-    fn = shard_map(
+    fn = jax.jit(shard_map(
         local,
         mesh=mesh,
         in_specs=(pspec, pspec, pspec, pspec),
         out_specs=PS(),
         check_rep=False,
-    )
+    ))
     out = fn(points[0], points[1], points[2], scalars_std)
     return MSM._unstack(out, e_ndim)
 
@@ -100,13 +100,13 @@ def sharded_multi_pairing(mesh: Mesh, p_affs, q_affs):
             acc = TW.fp12_mul(acc, allf[i])
         return PAIR.final_exp(acc)
 
-    fn = shard_map(
+    fn = jax.jit(shard_map(
         local,
         mesh=mesh,
         in_specs=(PS(AXIS), PS(AXIS), PS(AXIS), PS(AXIS)),
         out_specs=PS(),
         check_rep=False,
-    )
+    ))
     return fn(p_affs[0], p_affs[1], q_affs[0], q_affs[1])
 
 
@@ -116,11 +116,11 @@ def sharded_batched_pairing(mesh: Mesh, p_affs, q_affs):
     def local(px, py, qx, qy):
         return PAIR.pairing_affine((px, py), (qx, qy))
 
-    fn = shard_map(
+    fn = jax.jit(shard_map(
         local,
         mesh=mesh,
         in_specs=(PS(AXIS), PS(AXIS), PS(AXIS), PS(AXIS)),
         out_specs=PS(AXIS),
         check_rep=False,
-    )
+    ))
     return fn(p_affs[0], p_affs[1], q_affs[0], q_affs[1])
