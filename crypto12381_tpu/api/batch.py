@@ -1,0 +1,422 @@
+"""Batched device-path protocol API: vectors of group elements on TPU.
+
+The scalar wrappers in api/elements.py run protocol bookkeeping on exact
+host arithmetic; this module is the bulk path those wrappers promise — a
+vector of Zp/G1/G2/GT elements is ONE device array (leading batch dims),
+and the paper-notation operators lower to the batched JAX kernels:
+
+  * ``G1Vec ** ZpVec``        -> GLV ladder over the whole batch
+  * ``G1Vec.msm(ZpVec)``      -> Pippenger multi-scalar multiplication
+  * ``pair_vec(g1v, g2v)``    -> batched Miller loop + final exponentiation
+  * ``pair_prod((a,b),(c,d))``-> shared Miller accumulation + ONE final exp,
+    the batch analogue of the reference's lazy double-ate fusion
+    (include/crypto12381/liner_pair.hpp:215-228, PAIR_double_ate
+    3rd-party/miracl-core/pair_BLS12381.cpp:508-626)
+
+Host <-> device crossings happen only at construction (parse/serialize use
+the bit-exact byte codecs in compat/codec.py); everything between is jit
+compatible and shards over a mesh via parallel/sharding.py.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..compat import codec
+from ..curves import g1 as G1C
+from ..curves import g2 as G2C
+from ..curves import weierstrass as W
+from ..fields import fp as FP
+from ..fields import tower as TW
+from ..msm import pippenger as MSM
+from ..pairing import pairing as PAIR
+from ..params import R
+
+__all__ = [
+    "ZpVec",
+    "G1Vec",
+    "G2Vec",
+    "GTVec",
+    "pair_vec",
+    "pair_prod",
+]
+
+FR = FP.FR_CTX
+FPX = FP.FP_CTX
+
+
+def _as_int_list(values) -> list[int]:
+    out = []
+    for v in values:
+        out.append(v.value if hasattr(v, "value") else int(v))
+    return out
+
+
+class ZpVec:
+    """A batch of scalars mod r: (..., 18) int32 standard-domain limbs.
+
+    Arithmetic is exact mod r (one Montgomery round-trip per multiply);
+    construction from host ints / api ZpNumbers / 48-byte strings.
+    """
+
+    __slots__ = ("std",)
+
+    def __init__(self, std: jnp.ndarray):
+        self.std = std
+
+    # -- construction --------------------------------------------------
+
+    @classmethod
+    def from_ints(cls, values) -> "ZpVec":
+        vals = _as_int_list(values)
+        return cls(FP.from_int(FR, [v % R for v in vals], mont=False))
+
+    @classmethod
+    def parse(cls, blobs: Iterable[bytes]) -> "ZpVec":
+        return cls.from_ints([codec.zp_parse(bytes(b)) for b in blobs])
+
+    # -- host conversion ------------------------------------------------
+
+    def to_ints(self):
+        return FP.to_int(FR, self.std, mont=False)
+
+    def serialize(self) -> list[bytes]:
+        ints = np.atleast_1d(np.asarray(self.to_ints(), dtype=object))
+        return [codec.zp_serialize(int(v)) for v in ints.reshape(-1)]
+
+    @property
+    def shape(self):
+        return self.std.shape[:-1]
+
+    # -- arithmetic (canonical std-domain in, canonical out) -------------
+
+    def _mont(self) -> jnp.ndarray:
+        return FP.to_mont(FR, self.std)
+
+    @classmethod
+    def _from_mont(cls, m) -> "ZpVec":
+        return cls(FP.from_mont(FR, m))
+
+    def __add__(self, other: "ZpVec") -> "ZpVec":
+        s = FP.normalize(self.std + other.std)
+        return ZpVec(FP.cond_sub(FR, s, FR.p_limbs))
+
+    def __sub__(self, other: "ZpVec") -> "ZpVec":
+        # raw K-constant subtraction, then a Montgomery round-trip to
+        # canonicalize the loose (< K + r << R) standard-domain value
+        d = FP.sub(FR, self.std, other.std, 17)
+        return ZpVec(FP.from_mont(FR, FP.to_mont(FR, d)))
+
+    def __mul__(self, other: "ZpVec") -> "ZpVec":
+        return ZpVec._from_mont(FP.mont_mul(FR, self._mont(), other._mont()))
+
+    def __neg__(self) -> "ZpVec":
+        return ZpVec.from_ints([0]) - self
+
+    def inverse(self) -> "ZpVec":
+        return ZpVec._from_mont(FP.inv(FR, self._mont()))
+
+    def __eq__(self, other) -> jnp.ndarray:  # type: ignore[override]
+        return jnp.all(self.std == other.std, axis=-1)
+
+    def __hash__(self):
+        raise TypeError("ZpVec is not hashable")
+
+
+def _obj_flat(pts) -> np.ndarray:
+    """to_affine_ints result (tuple | None | object ndarray) -> flat object
+    array (np.asarray on a tuple/list of tuples would split coordinates)."""
+    if isinstance(pts, np.ndarray):
+        return pts.reshape(-1)
+    arr = np.empty(1, object)
+    arr[0] = pts
+    return arr
+
+
+def _tree_product(ops, stacked_tuple, axis: int):
+    """Group-law reduction (Π) along `axis` in log2 steps."""
+    p = tuple(jnp.moveaxis(c, axis, 0) for c in stacked_tuple)
+    n = p[0].shape[0]
+    while n > 1:
+        half = n // 2
+        a = tuple(c[:half] for c in p)
+        b = tuple(c[half : 2 * half] for c in p)
+        merged = W.add(ops, a, b)
+        if n % 2:
+            merged = tuple(
+                jnp.concatenate([m, c[n - 1 : n]], 0) for m, c in zip(merged, p)
+            )
+            n = half + 1
+        else:
+            n = half
+        p = merged
+    return tuple(c[0] for c in p)
+
+
+class _PointVec:
+    """Shared implementation of batched G1/G2 vectors (projective)."""
+
+    __slots__ = ("p",)
+    _mod = None  # curves.g1 / curves.g2 module
+
+    def __init__(self, p):
+        self.p = p  # (X, Y, Z) field arrays
+
+    # -- paper notation ---------------------------------------------------
+
+    def __mul__(self, other):
+        """Group operation (multiplicative notation, g1_point.hpp)."""
+        return type(self)(self._mod.add(self.p, other.p))
+
+    def __truediv__(self, other):
+        return type(self)(self._mod.add(self.p, self._mod.neg(other.p)))
+
+    def __pow__(self, e):
+        e_std = e.std if isinstance(e, ZpVec) else e
+        return type(self)(self._mod.scalar_mul(self.p, e_std))
+
+    __xor__ = __pow__
+
+    def inverse(self):
+        return type(self)(self._mod.neg(self.p))
+
+    def __eq__(self, other) -> jnp.ndarray:  # type: ignore[override]
+        return self._mod.eq(self.p, other.p)
+
+    def __hash__(self):
+        raise TypeError("point vectors are not hashable")
+
+    def product(self, axis: int = 0):
+        """Π along an axis (plain tree reduction; use msm for Π pᵢ^eᵢ)."""
+        return type(self)(_tree_product(self._mod.ops(), self.p, axis))
+
+    @property
+    def shape(self):
+        return self.p[0].shape[: -self._mod.ops().elem_ndim]
+
+    def on_curve(self) -> jnp.ndarray:
+        return self._mod.on_curve(self.p)
+
+    def is_identity(self) -> jnp.ndarray:
+        return self._mod.is_identity(self.p)
+
+    def affine(self):
+        """(x, y, inf_mask) — Montgomery-limb affine coordinates."""
+        return self._mod.to_affine(self.p)
+
+    def broadcast_to(self, batch):
+        """Broadcast a single-element vector (batch shape () or (1,)) to
+        `batch` — free on device (no copy until consumed)."""
+        if self.shape not in ((), (1,)):
+            raise ValueError(f"cannot broadcast batch shape {self.shape}")
+        batch = tuple(batch)
+        nb = len(self.shape)
+        out = tuple(
+            jnp.broadcast_to(c.reshape(c.shape[nb:]), batch + c.shape[nb:])
+            for c in self.p
+        )
+        return type(self)(out)
+
+
+class G1Vec(_PointVec):
+    _mod = G1C
+
+    @classmethod
+    def generator(cls, batch=()) -> "G1Vec":
+        return cls(G1C.generator(batch))
+
+    @classmethod
+    def identity(cls, batch=()) -> "G1Vec":
+        return cls(G1C.identity(batch))
+
+    @classmethod
+    def from_affine(cls, pts: Sequence) -> "G1Vec":
+        """Host affine points: (x, y) int tuples or None for infinity."""
+        xs = [0 if p is None else int(p[0]) for p in pts]
+        ys = [1 if p is None else int(p[1]) for p in pts]
+        zs = [0 if p is None else 1 for p in pts]
+        return cls(
+            (
+                FP.from_int(FPX, xs),
+                FP.from_int(FPX, ys),
+                FP.from_int(FPX, zs),
+            )
+        )
+
+    @classmethod
+    def from_elements(cls, elems: Iterable) -> "G1Vec":
+        return cls.from_affine([e.point().pt for e in elems])
+
+    @classmethod
+    def parse(cls, blobs: Iterable[bytes]) -> "G1Vec":
+        return cls.from_affine([codec.g1_parse(bytes(b)) for b in blobs])
+
+    def serialize(self) -> list[bytes]:
+        return [codec.g1_serialize(p) for p in _obj_flat(G1C.to_affine_ints(self.p))]
+
+    def to_elements(self):
+        from .elements import G1Element
+
+        return [G1Element(p) for p in _obj_flat(G1C.to_affine_ints(self.p))]
+
+    def msm(self, scalars: ZpVec, c: int = 8, lanes: int = 256) -> "G1Vec":
+        """Π self[i]^scalars[i] over the leading axis -> batch-free G1Vec."""
+        n = self.p[0].shape[0]
+        lanes = min(lanes, 1 << max(0, (n - 1).bit_length() - 1)) or 1
+        pts, sc = MSM.pad_inputs(self.p, scalars.std, lanes, G1C.ops())
+        return G1Vec(MSM.msm(pts, sc, G1C.ops(), c=c, lanes=lanes))
+
+
+class G2Vec(_PointVec):
+    _mod = G2C
+
+    @classmethod
+    def generator(cls, batch=()) -> "G2Vec":
+        return cls(G2C.generator(batch))
+
+    @classmethod
+    def identity(cls, batch=()) -> "G2Vec":
+        return cls(G2C.identity(batch))
+
+    @classmethod
+    def from_affine(cls, pts: Sequence) -> "G2Vec":
+        """Host affine points: ((xr, xi), (yr, yi)) tuples or None."""
+        xs = [((0, 0) if p is None else (int(p[0][0]), int(p[0][1]))) for p in pts]
+        ys = [((1, 0) if p is None else (int(p[1][0]), int(p[1][1]))) for p in pts]
+        zs = [((0, 0) if p is None else (1, 0)) for p in pts]
+
+        def fp2(vals):
+            re = FP.from_int(FPX, [v[0] for v in vals])
+            im = FP.from_int(FPX, [v[1] for v in vals])
+            return jnp.stack([re, im], axis=-2)
+
+        return cls((fp2(xs), fp2(ys), fp2(zs)))
+
+    @classmethod
+    def from_elements(cls, elems: Iterable) -> "G2Vec":
+        return cls.from_affine([e.point().pt for e in elems])
+
+    @classmethod
+    def parse(cls, blobs: Iterable[bytes]) -> "G2Vec":
+        return cls.from_affine([codec.g2_parse(bytes(b)) for b in blobs])
+
+    def serialize(self) -> list[bytes]:
+        return [codec.g2_serialize(p) for p in _obj_flat(G2C.to_affine_ints(self.p))]
+
+    def msm(self, scalars: ZpVec, c: int = 8, lanes: int = 256) -> "G2Vec":
+        n = self.p[0].shape[0]
+        lanes = min(lanes, 1 << max(0, (n - 1).bit_length() - 1)) or 1
+        pts, sc = MSM.pad_inputs(self.p, scalars.std, lanes, G2C.ops())
+        return G2Vec(MSM.msm(pts, sc, G2C.ops(), c=c, lanes=lanes))
+
+
+class GTVec:
+    """A batch of GT elements: (..., 2, 3, 2, L) Fp12 limb arrays."""
+
+    __slots__ = ("f",)
+
+    def __init__(self, f: jnp.ndarray):
+        self.f = f
+
+    @classmethod
+    def one(cls, batch=()) -> "GTVec":
+        return cls(TW.fp12_one(batch))
+
+    @property
+    def shape(self):
+        return self.f.shape[:-4]
+
+    def __mul__(self, other: "GTVec") -> "GTVec":
+        return GTVec(TW.fp12_mul(self.f, other.f))
+
+    def __truediv__(self, other: "GTVec") -> "GTVec":
+        return GTVec(TW.fp12_mul(self.f, TW.fp12_inv(other.f)))
+
+    def __pow__(self, e):
+        e_std = e.std if isinstance(e, ZpVec) else e
+        return GTVec(PAIR.gt_pow(self.f, e_std))
+
+    __xor__ = __pow__
+
+    def inverse(self) -> "GTVec":
+        return GTVec(TW.fp12_inv(self.f))
+
+    def inverse_unitary(self) -> "GTVec":
+        """Conjugation — equals inverse for reduced-pairing values (the
+        cyclotomic subgroup), one select instead of a full Fp12 inversion."""
+        return GTVec(TW.fp12_conj(self.f))
+
+    def __eq__(self, other) -> jnp.ndarray:  # type: ignore[override]
+        return TW.fp12_eq(self.f, other.f)
+
+    def __hash__(self):
+        raise TypeError("GTVec is not hashable")
+
+    def is_one(self) -> jnp.ndarray:
+        return TW.fp12_eq(self.f, TW.fp12_one(self.shape))
+
+    def product(self, axis: int = 0) -> "GTVec":
+        f = jnp.moveaxis(self.f, axis, 0)
+        n = f.shape[0]
+        while n > 1:
+            half = n // 2
+            merged = TW.fp12_mul(f[:half], f[half : 2 * half])
+            if n % 2:
+                merged = jnp.concatenate([merged, f[n - 1 : n]], 0)
+                n = half + 1
+            else:
+                n = half
+            f = merged
+        return GTVec(f[0])
+
+    def serialize(self) -> list[bytes]:
+        from ..pyref import field as PF
+
+        cs = TW.fp12_coeffs_w(self.f)
+        res = [
+            (
+                np.atleast_1d(
+                    np.asarray(FP.to_int(FPX, c[..., 0, :]), dtype=object)
+                ).reshape(-1),
+                np.atleast_1d(
+                    np.asarray(FP.to_int(FPX, c[..., 1, :]), dtype=object)
+                ).reshape(-1),
+            )
+            for c in cs
+        ]
+        out = []
+        for i in range(res[0][0].shape[0]):
+            coeffs = tuple((int(re[i]), int(im[i])) for re, im in res)
+            out.append(codec.gt_serialize(PF.fp12_from_coeffs_w(coeffs)))
+        return out
+
+
+def _masked_miller(g1v: G1Vec, g2v: G2Vec) -> jnp.ndarray:
+    px, py, pinf = g1v.affine()
+    qx, qy, qinf = g2v.affine()
+    f = PAIR.miller_loop((px, py), (qx, qy))
+    inf = jnp.logical_or(pinf, qinf)
+    batch = f.shape[:-4]
+    return jnp.where(inf[..., None, None, None, None], TW.fp12_one(batch), f)
+
+
+def pair_vec(g1v: G1Vec, g2v: G2Vec) -> GTVec:
+    """Batched reduced pairing e(Pᵢ, Qᵢ) (reference normalization: ate³).
+    e(O, ·) = e(·, O) = 1."""
+    return GTVec(PAIR.final_exp(_masked_miller(g1v, g2v)))
+
+
+def pair_prod(*pairs: tuple[G1Vec, G2Vec]) -> GTVec:
+    """Π e(Pᵢ, Qᵢ) over the argument list with ONE shared final
+    exponentiation — the batch double-ate (liner_pair.hpp:215-228).  All
+    pairs must share a batch shape; each element may be a different batch
+    of points."""
+    fs = [_masked_miller(a, b) for a, b in pairs]
+    acc = fs[0]
+    for f in fs[1:]:
+        acc = TW.fp12_mul(acc, f)
+    return GTVec(PAIR.final_exp(acc))

@@ -12,7 +12,7 @@ from ..api.sets import (G1, G2, Zp, encode_to, inverse, pair, parse,
                         product_, select_in, serialize)
 
 __all__ = ["PublicParameters", "Keys", "setup", "key_gen", "encode_message",
-           "sign", "verify"]
+           "sign", "verify", "verify_batch"]
 
 
 @dataclass
@@ -74,3 +74,41 @@ def verify(pp: PublicParameters, pk: bytes, message: list[bytes], signature: byt
     lhs = pair(A, w * (g2**x))
     rhs = pair(g1 * product_([h[i] ** m[i] for i in range(n)]), g2)
     return lhs == rhs
+
+
+def verify_batch(pp: PublicParameters, pk: bytes, messages, signatures):
+    """Device-batched verify of B signatures under one (pp, pk).
+
+    messages: B lists of encoded Zp message blocks (shorter messages are
+    padded with zero exponents — hᵢ⁰ = 1 matches the scalar semantics).
+    The base products g1·Π hᵢ^mᵢ become per-item batched G1 ladders, and
+    both pairing sides share one batched final exponentiation.  Returns a
+    (B,) bool array.
+    """
+    import numpy as np
+
+    from ..api import batch as BT
+
+    B = len(messages)
+    assert len(signatures) == B
+    g1e, g2e = parse(G1, G2, pp.g1_g2)
+    he = [parse(G1, b) for b in pp.h]
+    we = parse(G2, pk)
+    n = max((len(m) for m in messages), default=0)
+    if n > len(he):
+        raise ValueError("message is too long")
+
+    sigs = [parse(G1, Zp, s) for s in signatures]
+    A = BT.G1Vec.from_elements(s[0] for s in sigs)
+    xs = BT.ZpVec.from_ints([s[1] for s in sigs])
+    # (B, n) message-block exponents, zero-padded
+    mm = [[parse(Zp, m[i]).value if i < len(m) else 0 for i in range(n)]
+          for m in messages]
+    g2 = BT.G2Vec.from_elements([g2e]).broadcast_to((B,))
+    w = BT.G2Vec.from_elements([we]).broadcast_to((B,))
+    base = BT.G1Vec.from_elements([g1e]).broadcast_to((B,))
+    for i in range(n):
+        hi = BT.G1Vec.from_elements([he[i]]).broadcast_to((B,))
+        base = base * (hi ** BT.ZpVec.from_ints([row[i] for row in mm]))
+    ok = BT.pair_prod((A, w * (g2 ** xs)), (base.inverse(), g2)).is_one()
+    return np.asarray(ok)

@@ -18,7 +18,7 @@ from ..api.elements import G1Pow, ZpNumber
 __all__ = [
     "Keys", "KeysN", "As",
     "key_gen", "key_gen_n", "sign", "sign_n", "verify", "verify_n",
-    "randomnize",
+    "verify_batch", "randomnize",
 ]
 
 
@@ -56,6 +56,33 @@ def randomnize(signature: bytes, random) -> bytes:
     s1, s2 = parse(G1 ** 2, signature)
     r = select_in(~Zp, random)
     return serialize(s1**r, s2**r)
+
+
+def verify_batch(pk: bytes, messages, signatures):
+    """Device-batched verify of B signatures under one public key.
+
+    The whole batch is TWO batched Miller loops (e(s1ᵢ, X2·Y2^mᵢ) and
+    e(s2ᵢ⁻¹, g2)) sharing ONE batched final exponentiation — the reference
+    materializes each side separately per signature (src/ps.cpp:26-33).
+    Returns a (B,) bool array.
+    """
+    import numpy as np
+
+    from ..api import batch as BT
+
+    B = len(messages)
+    assert len(signatures) == B
+    g2e, X2e, Y2e = parse(G2 ** 3, pk)
+    ms = BT.ZpVec.from_ints([hash_(_as_bytes(m)).to(Zp) for m in messages])
+    sigs = [parse(G1 ** 2, s) for s in signatures]
+    s1 = BT.G1Vec.from_elements(s[0] for s in sigs)
+    s2 = BT.G1Vec.from_elements(s[1] for s in sigs)
+    Y2 = BT.G2Vec.from_elements([Y2e]).broadcast_to((B,))
+    X2 = BT.G2Vec.from_elements([X2e]).broadcast_to((B,))
+    g2 = BT.G2Vec.from_elements([g2e]).broadcast_to((B,))
+    t = X2 * (Y2 ** ms)
+    ok = BT.pair_prod((s1, t), (s2.inverse(), g2)).is_one()
+    return np.asarray(ok)
 
 
 # ------------------------------------------------------------- multi-message
