@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..fields import fp as FP
+from ..fields import active as FP
 from ..fields import tower as TW
 from ..ops import scalar_decomp as SD
 from ..params import P
@@ -45,16 +45,11 @@ def _beta_limbs() -> np.ndarray:
     """Cube root of unity with phi(P) = [lambda]P (the square of
     2^((p-1)/3); picked by the eigenvalue test in tests/test_endo.py)."""
     beta = pow(pow(2, (P - 1) // 3, P), 2, P)
-    return np.array(CTX.params.to_limbs(beta * CTX.params.R_mod % P), np.int32)
+    return FP.mont_const(CTX, beta)
 
 
 def _fp2_mont(v: tuple[int, int]) -> np.ndarray:
-    return np.stack(
-        [
-            np.array(CTX.params.to_limbs(c * CTX.params.R_mod % P), np.int32)
-            for c in v
-        ]
-    )
+    return np.stack([FP.mont_const(CTX, c) for c in v])
 
 
 @functools.lru_cache(maxsize=1)

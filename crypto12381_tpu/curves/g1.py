@@ -12,7 +12,7 @@ import functools
 import jax.numpy as jnp
 import numpy as np
 
-from ..fields import fp as FP
+from ..fields import active as FP
 from ..params import B_G1, G1_GEN_X, G1_GEN_Y, H_EFF_G1, R
 from . import weierstrass as W
 
@@ -34,10 +34,7 @@ def _select(mask, a, b):
 def ops() -> W.FieldOps:
     # host-side Montgomery constant: lru-cached closures must never capture
     # traced arrays (ops() may first be called inside a jit trace)
-    b3 = np.array(
-        CTX.params.to_limbs(3 * B_G1 * CTX.params.R_mod % CTX.params.modulus),
-        np.int32,
-    )
+    b3 = FP.mont_const(CTX, 3 * B_G1)
     return W.FieldOps(
         add=lambda a, b: FP.add(CTX, a, b),
         sub=lambda a, b: FP.sub(CTX, a, b),

@@ -12,7 +12,7 @@ import functools
 import jax.numpy as jnp
 import numpy as np
 
-from ..fields import fp as FP
+from ..fields import active as FP
 from ..fields import tower as TW
 from ..params import B_G2, G2_GEN_X, G2_GEN_Y, R
 from . import weierstrass as W
@@ -34,8 +34,7 @@ def _select(mask, a, b):
 def ops() -> W.FieldOps:
     # host-side Montgomery constant (see g1.ops note on lru-cached tracers)
     def mont(v):
-        ctx = FP.FP_CTX
-        return np.array(ctx.params.to_limbs(v * ctx.params.R_mod % ctx.params.modulus), np.int32)
+        return FP.mont_const(FP.FP_CTX, v)
 
     b3 = np.stack([mont(3 * B_G2[0]), mont(3 * B_G2[1])])
     return W.FieldOps(

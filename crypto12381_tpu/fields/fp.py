@@ -497,6 +497,17 @@ def batch_inv(ctx: FieldCtx, x: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def const_limbs(ctx: FieldCtx, v: int) -> np.ndarray:
+    """Host int -> engine-dtype limb array (no domain conversion)."""
+    return np.array(ctx.params.to_limbs(v % ctx.params.modulus), np.int32)
+
+
+def mont_const(ctx: FieldCtx, v: int) -> np.ndarray:
+    """Host int -> Montgomery-domain limb constant."""
+    m = ctx.params.modulus
+    return np.array(ctx.params.to_limbs(v % m * ctx.params.R_mod % m), np.int32)
+
+
 def from_int(ctx: FieldCtx, values, mont: bool = True) -> jnp.ndarray:
     """ints (scalars / nested lists) -> limb array; Montgomery by default."""
     arr = np.asarray(values, dtype=object)

@@ -26,7 +26,7 @@ import numpy as np
 
 from ..params import P
 from ..pyref import field as PF
-from . import fp as FP
+from . import active as FP
 
 CTX = FP.FP_CTX
 L = CTX.L
@@ -386,7 +386,6 @@ def fp12_from_coeffs_w(cs):
 def _frob_gammas(n: int) -> np.ndarray:
     """gamma_{n,k} = xi^(k*(p^n-1)/6) for k=0..5 as (6, 2, L) Montgomery
     limbs (host-computed once with exact ints)."""
-    out = np.zeros((6, 2, L), np.int32)
     e = (pow(P, n) - 1) // 6
     base = (1, 1)
 
@@ -401,14 +400,13 @@ def _frob_gammas(n: int) -> np.ndarray:
 
     gamma = fp2_pow(base, e)
     acc = (1, 0)
-    mont = lambda v: np.array(
-        FP.FP_CTX.params.to_limbs(v * FP.FP_CTX.params.R % P), np.int32
-    )
+    rows = []
     for k in range(6):
-        out[k, 0] = mont(acc[0])
-        out[k, 1] = mont(acc[1])
+        rows.append(
+            np.stack([FP.mont_const(CTX, acc[0]), FP.mont_const(CTX, acc[1])])
+        )
         acc = PF.fp2_mul(acc, gamma)
-    return out
+    return np.stack(rows)
 
 
 def fp12_frob(x, n: int = 1):

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..curves import g1 as G1
-from ..fields import fp as FP
+from ..fields import active as FP
 from ..params import ISO11_A, ISO11_B, P, SSWU_Z
 from ..pyref.sswu import iso11_tables
 
@@ -29,9 +29,7 @@ CTX = FP.FP_CTX
 @functools.lru_cache(maxsize=1)
 def _consts():
     """Host-side Montgomery constants."""
-    mont = lambda v: np.array(
-        CTX.params.to_limbs(v % P * CTX.params.R_mod % P), np.int32
-    )
+    mont = lambda v: FP.mont_const(CTX, v)
     sqrt_negz = pow((-SSWU_Z) % P, (P + 1) // 4, P)
     assert sqrt_negz * sqrt_negz % P == (-SSWU_Z) % P
     xnum, xden, ynum, yden = iso11_tables()

@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..fields import fp as FP
+from ..fields import active as FP
 from ..fields import tower as TW
 from ..params import P, R, X_ABS
 from ..curves import g2 as G2

@@ -7,7 +7,8 @@ import numpy as np
 
 from crypto12381_tpu.curves import g1 as G1
 from crypto12381_tpu.curves import g2 as G2
-from crypto12381_tpu.fields import fp as FP
+from crypto12381_tpu.fields import active as FP
+from crypto12381_tpu.fields import fp as FPI  # scalars (Fr) stay int16
 from crypto12381_tpu.params import R
 from crypto12381_tpu.pyref import curve as C
 
@@ -15,7 +16,7 @@ rng = random.Random(7)
 
 
 def fr_std(vals):
-    return FP.from_int(FP.FR_CTX, vals, mont=False)
+    return FPI.from_int(FPI.FR_CTX, vals, mont=False)
 
 
 def test_g1_add_double_vs_oracle():

@@ -10,7 +10,8 @@ import numpy as np
 from crypto12381_tpu.curves import endo as E
 from crypto12381_tpu.curves import g1 as G1
 from crypto12381_tpu.curves import g2 as G2
-from crypto12381_tpu.fields import fp as FP
+from crypto12381_tpu.fields import active as FP
+from crypto12381_tpu.fields import fp as FPI  # scalars (Fr) stay int16
 from crypto12381_tpu.fields import tower as TW
 from crypto12381_tpu.ops import scalar_decomp as SD
 from crypto12381_tpu.pairing import pairing as PAIR
@@ -23,7 +24,7 @@ rng = random.Random(99)
 
 
 def fr_std(vals):
-    return FP.from_int(FP.FR_CTX, vals, mont=False)
+    return FPI.from_int(FPI.FR_CTX, vals, mont=False)
 
 
 def limbs_to_int(a):

@@ -6,7 +6,8 @@ import jax
 import numpy as np
 
 from crypto12381_tpu.curves import g1 as G1
-from crypto12381_tpu.fields import fp as FP
+from crypto12381_tpu.fields import active as FP
+from crypto12381_tpu.fields import fp as FPI  # scalars (Fr) stay int16
 from crypto12381_tpu.msm import pippenger as MSM
 from crypto12381_tpu.params import R
 from crypto12381_tpu.pyref import curve as C
@@ -16,7 +17,7 @@ rng = random.Random(77)
 
 def test_window_digits():
     e = rng.randrange(R)
-    arr = FP.from_int(FP.FR_CTX, [e], mont=False)
+    arr = FPI.from_int(FPI.FR_CTX, [e], mont=False)
     for c in (4, 6, 8, 13):
         d = np.asarray(MSM.window_digits(arr, c))[0]
         K = -(-255 // c)
@@ -30,7 +31,7 @@ def test_msm_g1_small():
     scalars = [rng.randrange(R) for _ in range(n)]
     pts_ref = [C.g1_mul(C.G1_GEN, k) for k in ks]
     P = G1.from_affine_ints([p[0] for p in pts_ref], [p[1] for p in pts_ref])
-    s = FP.from_int(FP.FR_CTX, scalars, mont=False)
+    s = FPI.from_int(FPI.FR_CTX, scalars, mont=False)
     res = jax.jit(
         lambda P, s: MSM.msm(P, s, G1.ops(), c=4, lanes=8)
     )(P, s)
@@ -47,7 +48,7 @@ def test_msm_with_padding_and_zero_scalars():
     scalars = [rng.randrange(R) for _ in range(n - 1)] + [0]
     pts_ref = [C.g1_mul(C.G1_GEN, k) for k in ks]
     P = G1.from_affine_ints([p[0] for p in pts_ref], [p[1] for p in pts_ref])
-    s = FP.from_int(FP.FR_CTX, scalars, mont=False)
+    s = FPI.from_int(FPI.FR_CTX, scalars, mont=False)
     P, s = MSM.pad_inputs(P, s, 8, G1.ops())
     res = jax.jit(lambda P, s: MSM.msm(P, s, G1.ops(), c=5, lanes=8))(P, s)
     got = G1.to_affine_ints(res)

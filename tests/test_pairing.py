@@ -11,7 +11,7 @@ import numpy as np
 from crypto12381_tpu.compat import codec
 from crypto12381_tpu.curves import g1 as G1
 from crypto12381_tpu.curves import g2 as G2
-from crypto12381_tpu.fields import fp as FP
+from crypto12381_tpu.fields import active as FP
 from crypto12381_tpu.fields import tower as TW
 from crypto12381_tpu.pairing import pairing as PAIR
 from crypto12381_tpu.params import R

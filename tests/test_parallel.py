@@ -8,7 +8,8 @@ import numpy as np
 
 from crypto12381_tpu.compat import codec
 from crypto12381_tpu.curves import g1 as G1
-from crypto12381_tpu.fields import fp as FP
+from crypto12381_tpu.fields import active as FP
+from crypto12381_tpu.fields import fp as FPI  # scalars (Fr) stay int16
 from crypto12381_tpu.fields import tower as TW
 from crypto12381_tpu.parallel import sharding as SH
 from crypto12381_tpu.params import R
@@ -31,7 +32,7 @@ def test_sharded_msm():
     scalars = [rng.randrange(R) for _ in range(n)]
     pts_ref = [C.g1_mul(C.G1_GEN, k) for k in ks]
     P = G1.from_affine_ints([p[0] for p in pts_ref], [p[1] for p in pts_ref])
-    s = FP.from_int(FP.FR_CTX, scalars, mont=False)
+    s = FPI.from_int(FPI.FR_CTX, scalars, mont=False)
     res = SH.sharded_msm(mesh, P, s, c=8, lanes=2)
     got = G1.to_affine_ints(res)
     expect = None

@@ -11,7 +11,7 @@ import jax
 
 from crypto12381_tpu.compat import codec
 from crypto12381_tpu.curves import g1 as G1
-from crypto12381_tpu.fields import fp as FP
+from crypto12381_tpu.fields import active as FP
 from crypto12381_tpu.hashing import sswu as JSSWU
 from crypto12381_tpu.params import P
 from crypto12381_tpu.pyref import curve as C

@@ -4,7 +4,7 @@ import random
 
 import numpy as np
 
-from crypto12381_tpu.fields import fp as FP
+from crypto12381_tpu.fields import active as FP
 from crypto12381_tpu.fields import tower as TW
 from crypto12381_tpu.params import P
 from crypto12381_tpu.pyref import field as PF
