@@ -6,13 +6,17 @@ multiplies 7x58-bit int64 limbs with int128 comba accumulation — impossible
 on TPU vector units.  Here a field element is (..., L) int32 limbs in base
 2^16 and a batch of field multiplications becomes:
 
-  1. outer products in uint32 (exact: 16b x 16b products fit 32 bits),
-  2. lo/hi 16-bit split, then *column reduction as one fp32 matmul* with a
-     constant 0/1 scatter matrix — column sums < 2^22 are exact in fp32 and
-     the contraction rides the MXU,
-  3. an exact parallel carry-propagation pass (two split rounds + a
+  1. streaming shift-add schoolbook columns: L broadcast uint32 multiplies
+     (exact: 16b x 16b products fit 32 bits), lo/hi split and accumulated
+     at offset j under a lax.scan (no (batch, L, L) outer product is ever
+     materialized; see _mul_cols),
+  2. an exact parallel carry-propagation pass (two split rounds + a
      Kogge-Stone generate/propagate prefix — no sequential scan),
-  4. Montgomery REDC with the full-width constant n' = -p^-1 mod R.
+  3. Montgomery REDC with the full-width constant n' = -p^-1 mod R.
+
+This integer engine is the differential-testing oracle and CPU fallback;
+the performance engine on TPU is fields/fp32.py (fp32 FMAs + bf16 MXU REDC
+in a fused Pallas kernel), selected via fields/active.py.
 
 Range discipline ("loose limbs", the static analogue of the reference's
 runtime XES excess tracking fp_BLS12381.h:40-44 and compile-time ChunkRange

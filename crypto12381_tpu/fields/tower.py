@@ -11,7 +11,8 @@ multiplications into one stacked mont_mul call* (a leading stacked axis),
 so the limb-product MXU contraction stays large no matter how high in the
 tower we are (an Fp12 mul = 54 Fp muls in a single kernel-sized batch).
 
-Shapes (int32 limb arrays, L = 24):
+Shapes (engine limb arrays; L is the active engine's limb count — 25 int32
+limbs for the int16 engine, 50 float32 digits for the fp32 engine):
   Fp2  : (..., 2, L)       [c_re, c_im]
   Fp6  : (..., 3, 2, L)    coefficients of 1, v, v^2
   Fp12 : (..., 2, 3, 2, L) coefficients of 1, w

@@ -10,7 +10,7 @@ arrays of 58-bit limbs; here everything is a plain Python integer (exact,
 arbitrary precision) plus limb-scheme metadata used by the JAX field kernels.
 All constants below are standard, publicly specified BLS12-381 values
 (IETF pairing-friendly-curves / RFC 9380); they are validated bit-for-bit
-against the reference build by tests/test_vectors.py.
+against the reference build by tests/test_vectors_pyref.py.
 """
 
 from __future__ import annotations

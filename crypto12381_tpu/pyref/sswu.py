@@ -6,31 +6,23 @@ curve y^2 = x^3 + A'x + B', then the 11-isogeny rational maps (PC table),
 then effective-cofactor clearing — semantics must match bit-for-bit because
 serialized hash-to-G1 outputs are part of the protocol byte contracts.
 
-The PC coefficient table is loaded from the oracle dump
-(tests/vectors/reference.json) to rule out transcription errors.
+The PC coefficient table lives in crypto12381_tpu.iso11_data (library data,
+no dependency on the tests/ tree); tests/test_sswu.py asserts it equals the
+oracle dump tests/vectors/reference.json to rule out transcription errors.
 """
 
 from __future__ import annotations
 
-import functools
-import json
-import pathlib
-
+from ..iso11_data import XDEN, XNUM, YDEN, YNUM
 from ..params import ISO11_A, ISO11_B, P, SSWU_Z
 from . import curve as C
 from . import field as F
 
 
-@functools.lru_cache(maxsize=1)
 def iso11_tables():
     """(xnum[12], xden[10], ynum[16], yden[15]) in the reference's Horner
     (highest-degree-first) consumption order (ecp_BLS12381.cpp:1566-1626)."""
-    vec = json.loads(
-        (pathlib.Path(__file__).parents[2] / "tests" / "vectors" / "reference.json").read_text()
-    )
-    pc = [int(h, 16) for h in vec["pc"]]
-    assert len(pc) == 53
-    return pc[0:12], pc[12:22], pc[22:38], pc[38:53]
+    return list(XNUM), list(XDEN), list(YNUM), list(YDEN)
 
 
 def map2point(u: int):

@@ -38,3 +38,13 @@ def test_hash_to_g1_vector():
     pt = jax.jit(JSSWU.hash_field_to_g1)(FP.from_int(FP.FP_CTX, [u]))
     aff = G1.to_affine_ints(pt)[0]
     assert codec.g1_serialize(aff).hex() == VEC["hash_g1_abc"]
+
+
+def test_iso11_data_matches_oracle_dump():
+    """The library's embedded PC table (crypto12381_tpu/iso11_data.py) must
+    equal the table dumped from the reference build (rules out
+    transcription errors while keeping the library fixture-free)."""
+    from crypto12381_tpu.iso11_data import PC
+
+    pc = [int(h, 16) for h in VEC["pc"]]
+    assert list(PC) == pc
