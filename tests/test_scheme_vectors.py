@@ -62,3 +62,23 @@ def test_sss_flow_bytes():
     rec = sss.reconstruct([1, 3, 4, 6], [shares[i - 1] for i in (1, 3, 4, 6)])
     assert rec.hex() == vec["reconstructed"]
     assert (rec == secret) == vec["match"] is True
+
+
+def test_bbs04_flow_bytes():
+    from crypto12381_tpu.schemes import bbs04
+
+    vec = _vec("bbs04_flow.json")
+    r = create_random_engine("seed")
+    keys = bbs04.key_gen(4, r)
+    assert keys.gpk.hex() == vec["gpk"]
+    assert keys.gmsk.hex() == vec["gmsk"]
+    assert [g.hex() for g in keys.gsk] == vec["gsk"]
+    # the reference signs the 10-byte span "hello bbs" INCLUDING the
+    # literal's NUL terminator (std::span over a char[10] array)
+    msg = b"hello bbs\x00"
+    sig = bbs04.sign(keys.gpk, keys.gsk[2], msg, r)
+    assert sig.hex() == vec["signature"]
+    assert bbs04.verify(keys.gpk, msg, sig) == vec["verify"] is True
+    opened = bbs04.open_signature(keys.gmsk, sig)
+    assert opened.hex() == vec["opened"]
+    assert keys.gsk[vec["opened_index"]][:49] == opened
