@@ -82,3 +82,75 @@ def test_bbs04_flow_bytes():
     opened = bbs04.open_signature(keys.gmsk, sig)
     assert opened.hex() == vec["opened"]
     assert keys.gsk[vec["opened_index"]][:49] == opened
+
+
+def test_ac_bbs_flow_bytes():
+    from crypto12381_tpu.schemes import ac_bbs
+
+    vec = _vec("ac_bbs_flow.json")
+    r = create_random_engine("seed")
+    keys = ac_bbs.keygen(32, r)
+    assert keys.sk.hex() == vec["sk"]
+    assert keys.pk.fixed_part.hex() == vec["pk_fixed"]
+    assert [y.hex() for y in keys.pk.Y] == vec["Y"]
+    attr = ac_bbs.generate_attributes(keys.pk, 32, r)
+    assert [a.hex() for a in attr] == vec["attr"]
+    sig = ac_bbs.issue(keys, attr, r)
+    assert sig.hex() == vec["sig_A"] + vec["sig_w"]
+    msg = b"\x00"  # reference: span over "" includes the NUL
+    p = ac_bbs.pres(msg, attr, sig, [0, 3], keys.pk, r)
+    assert p.fixed_part.hex() == vec["pres_fixed"]
+    assert [u.hex() for u in p.u] == vec["pres_u"]
+    assert ac_bbs.verify(msg, attr, [0, 3], p, keys.pk) == vec["verify"] is True
+
+
+def test_ac_rbbs_flow_bytes():
+    from crypto12381_tpu.schemes import ac_rbbs
+
+    vec = _vec("ac_rbbs_flow.json")
+    r = create_random_engine("seed")
+    keys = ac_rbbs.keygen(32, r)
+    assert keys.sk.hex() == vec["sk"]
+    assert keys.pk.fixed_part.hex() == vec["pk_fixed"]
+    assert [y.hex() for y in keys.pk.Y] == vec["Y"]     # incl. zero Y[n]
+    assert [y.hex() for y in keys.pk.tilde_Y] == vec["tilde_Y"]
+    attr = ac_rbbs.generate_attributes(keys.pk, 32, r)
+    assert [a.hex() for a in attr] == vec["attr"]
+    sig = ac_rbbs.issue(keys, attr, r)
+    assert sig.hex() == vec["sig_A"] + vec["sig_w"]
+    rc = ac_rbbs.redact(attr, sig, [0, 3], keys.pk)
+    assert rc.hex() == vec["redact"]
+    msg = b"\x00"
+    p = ac_rbbs.pres(msg, sig, rc, r)
+    assert p.hex() == vec["pres"]
+    assert ac_rbbs.verify(msg, attr, [0, 3], p, keys.pk) == vec["verify"] is True
+
+
+def test_ac_rps_flow_bytes_at_reference_params():
+    """n=64, I={0,1,3} — the reference test's exact parameters
+    (examples/AC-rps/test.cpp:36,47).  The oracle dump records that the
+    REFERENCE's own verify fails on its own presentation (verify_t1 and
+    verify_t2 both false: pres.cpp:26 hashes (A_, B_, C~_J, i) for its
+    q-challenges while verify.cpp:17 hashes (a[j in I], i) — different
+    transcripts), so the byte-exact Python port must also return False."""
+    from crypto12381_tpu.schemes import ac_rps
+
+    vec = _vec("ac_rps_flow.json")
+    r = create_random_engine("seed")
+    keys = ac_rps.keygen(64, r)
+    assert keys.sk.hex() == vec["sk"]
+    assert keys.pk.fixed_part.hex() == vec["pk_fixed"]
+    assert [y.hex() for y in keys.pk.Y] == vec["Y"]
+    assert [y.hex() for y in keys.pk.tilde_Y] == vec["tilde_Y"]
+    attr = ac_rps.generate_attributes(keys.pk, 64, r)
+    assert [a.hex() for a in attr] == vec["attr"]
+    sig = ac_rps.issue(keys, attr, r)
+    assert sig.hex() == vec["sig"]
+    I = [0, 1, 3]
+    rc = ac_rps.redact(attr, sig, I, keys.pk)
+    assert rc.hex() == vec["redact"]
+    msg = b"\x00"
+    p = ac_rps.pres(msg, attr, sig, I, rc, keys.pk, r)
+    assert p.hex() == vec["pres"]
+    assert vec["verify_t1"] is False and vec["verify_t2"] is False
+    assert ac_rps.verify(msg, attr, I, p, keys.pk) == vec["verify"] is False
