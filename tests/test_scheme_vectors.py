@@ -154,3 +154,42 @@ def test_ac_rps_flow_bytes_at_reference_params():
     assert p.hex() == vec["pres"]
     assert vec["verify_t1"] is False and vec["verify_t2"] is False
     assert ac_rps.verify(msg, attr, I, p, keys.pk) == vec["verify"] is False
+
+
+def test_mhac_bbs_flow_bytes():
+    """Full 7-stage MHAC-BBS flow at the reference test's parameters
+    (iss_setup(4), Prv={0,2}, t=3, n=6, S={0,2,5}, Rev={1})."""
+    from crypto12381_tpu.schemes import mhac_bbs as MH
+
+    vec = _vec("mhac_bbs_flow.json")
+    r = create_random_engine("seed")
+    setup = MH.iss_setup(4, r)
+    pp, keys = setup.pp, setup.keys
+    assert pp.g1_g2.hex() == vec["g1g2"]
+    assert [x.hex() for x in pp.h] == vec["h"]
+    assert keys.sk.hex() == vec["sk"] and keys.pk.hex() == vec["pk"]
+    Prv, Pub = [0, 2], [1, 3]
+    ai = MH.generate_attributes(pp, 3, 6, Prv, r)
+    assert [a.hex() for a in ai.public_attributes] == vec["pub_attrs"]
+    assert [
+        [s.hex() for s in row] for row in ai.private_attributes_share
+    ] == vec["shares"]
+    assert [c.hex() for c in ai.commitments] == vec["C"]
+    creds = MH.cred_iss(pp, keys.sk, 3, ai.commitments, Pub,
+                        ai.public_attributes, r)
+    assert creds.A.hex() == vec["cred_A"]
+    assert [s.hex() for s in creds.e_share] == vec["e_share"]
+    assert [d.hex() for d in creds.D] == vec["D"]
+    grp = MH.make_pres_group(creds, [0, 2, 5])
+    assert [l.hex() for l in grp.lam] == vec["group_lam"]
+    assert grp.D.hex() == vec["group_D"]
+    ptype = MH.make_pres_type(pp, [1], Prv, ai.public_attributes)
+    assert ptype.C_rev.hex() == vec["C_rev"]
+    assert ptype.C_pub.hex() == vec["C_pub"]
+    pres = MH.cred_pres(pp, creds, grp, ptype, Prv, ai.public_attributes,
+                        ai.private_attributes_share, r)
+    assert pres.fixed_part.hex() == vec["pres_fixed"]
+    assert [z.hex() for z in pres.z] == vec["pres_z"]
+    assert [z.hex() for z in pres.z_hid_pub] == vec["pres_z_hid_pub"]
+    ok = MH.verify_pres(pp, keys.pk, ptype, Prv, ai.public_attributes, pres)
+    assert ok == vec["verify"] is True
