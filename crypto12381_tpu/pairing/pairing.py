@@ -202,24 +202,38 @@ def miller_loop(p_aff, q_aff):
 
 
 def _pow_abs_x(g):
-    """g^|x| by square-and-select-multiply over the 64 static bits.
+    """g^|x| as static runs of cyclotomic squarings separated by the 5
+    multiplies of |x|'s sparse bit pattern.
 
-    Operands are cyclotomic (everything after the easy part), so the
-    squarings are Granger-Scott fp12_usqr (18 Fp muls vs 30 dense —
-    reference analogue FP12_usqr in PAIR_fexp)."""
-    bits = np.array([int(b) for b in bin(X_ABS)[2:]], np.int32)
+    |x| = 0xd201000000010000 has Hamming weight 6, so instead of a 64-step
+    square-AND-multiply scan (which pays a dense fp12_mul on every step and
+    discards it on the 58 zero bits), each zero-run compiles to one scan of
+    pure Granger-Scott squarings (fp12_usqr, 18 Fp muls vs 30 dense —
+    reference analogue FP12_usqr in PAIR_fexp) and only the 5 real
+    multiplies remain: 64 usqr + 5 mul instead of 64 usqr + 63 mul."""
+    bits = bin(X_ABS)[2:]
+    mul_offsets = [i for i, b in enumerate(bits) if i and b == "1"]
+    runs = []  # (n_squarings, multiply_after)
+    prev = 0
+    for off in mul_offsets:
+        runs.append((off - prev, True))
+        prev = off
+    if prev < len(bits) - 1:
+        runs.append((len(bits) - 1 - prev, False))
 
-    def body(acc, bit):
-        acc = TW.fp12_usqr(acc)
-        accm = TW.fp12_mul(acc, g)
-        mask = (bit != 0)
-        return jnp.where(
-            mask[..., None, None, None, None] if mask.ndim else mask,
-            accm,
-            acc,
-        ), None
+    def sqr_run(acc, n):
+        if n == 1:
+            return TW.fp12_usqr(acc)
+        out, _ = jax.lax.scan(
+            lambda a, _: (TW.fp12_usqr(a), None), acc, None, length=n
+        )
+        return out
 
-    acc, _ = jax.lax.scan(body, g, jnp.asarray(bits[1:]))
+    acc = g
+    for n, mul_after in runs:
+        acc = sqr_run(acc, n)
+        if mul_after:
+            acc = TW.fp12_mul(acc, g)
     return acc
 
 
