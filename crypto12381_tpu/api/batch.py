@@ -30,7 +30,8 @@ from ..compat import codec
 from ..curves import g1 as G1C
 from ..curves import g2 as G2C
 from ..curves import weierstrass as W
-from ..fields import fp as FP
+from ..fields import active as FPA   # Fp engine (fp32 on TPU)
+from ..fields import fp as FP        # Fr scalars stay int16 limbs
 from ..fields import tower as TW
 from ..msm import pippenger as MSM
 from ..pairing import pairing as PAIR
@@ -46,7 +47,7 @@ __all__ = [
 ]
 
 FR = FP.FR_CTX
-FPX = FP.FP_CTX
+FPX = FPA.FP_CTX
 
 
 def _as_int_list(values) -> list[int]:
@@ -241,9 +242,9 @@ class G1Vec(_PointVec):
         zs = [0 if p is None else 1 for p in pts]
         return cls(
             (
-                FP.from_int(FPX, xs),
-                FP.from_int(FPX, ys),
-                FP.from_int(FPX, zs),
+                FPA.from_int(FPX, xs),
+                FPA.from_int(FPX, ys),
+                FPA.from_int(FPX, zs),
             )
         )
 
@@ -290,8 +291,8 @@ class G2Vec(_PointVec):
         zs = [((0, 0) if p is None else (1, 0)) for p in pts]
 
         def fp2(vals):
-            re = FP.from_int(FPX, [v[0] for v in vals])
-            im = FP.from_int(FPX, [v[1] for v in vals])
+            re = FPA.from_int(FPX, [v[0] for v in vals])
+            im = FPA.from_int(FPX, [v[1] for v in vals])
             return jnp.stack([re, im], axis=-2)
 
         return cls((fp2(xs), fp2(ys), fp2(zs)))
@@ -380,10 +381,10 @@ class GTVec:
         res = [
             (
                 np.atleast_1d(
-                    np.asarray(FP.to_int(FPX, c[..., 0, :]), dtype=object)
+                    np.asarray(FPA.to_int(FPX, c[..., 0, :]), dtype=object)
                 ).reshape(-1),
                 np.atleast_1d(
-                    np.asarray(FP.to_int(FPX, c[..., 1, :]), dtype=object)
+                    np.asarray(FPA.to_int(FPX, c[..., 1, :]), dtype=object)
                 ).reshape(-1),
             )
             for c in cs
