@@ -60,10 +60,21 @@ class Expr:
     def __pow__(self, o):
         return BinOp("**", self, o)
 
+    def __rpow__(self, o):
+        """base ** symbolic-exponent (group elements defer here, so
+        `g ** x[i]` builds a deferred node like the reference's
+        symbolic_invocation, algebra.hpp:492-521)."""
+        return BinOp("**", o, self)
+
     __xor__ = __pow__
 
     def __neg__(self):
         return BinOp("-", 0, self)
+
+    def __getitem__(self, idx):
+        """Symbolic subscript chaining: `rows[k][ii]` stays deferred until
+        every index binds (ref subscript, algebra.hpp:397-425)."""
+        return Subscript(self, idx)
 
     # -- invocation = substitution ------------------------------------
 
@@ -294,12 +305,15 @@ class Subscript(Expr):
         self.idx = idx
 
     def _eval(self, env):
+        seq = _subst(self.seq, env) if isinstance(self.seq, Expr) else self.seq
         idx = _subst(self.idx, env)
-        if isinstance(idx, Expr):
-            return Subscript(self.seq, idx)
-        return self.seq[idx]
+        if isinstance(seq, Expr) or isinstance(idx, Expr):
+            return Subscript(seq, idx)
+        return seq[idx]
 
     def _symbols(self, out):
+        if isinstance(self.seq, Expr):
+            self.seq._symbols(out)
         if isinstance(self.idx, Expr):
             self.idx._symbols(out)
 

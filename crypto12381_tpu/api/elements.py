@@ -51,6 +51,17 @@ def _as_zp_int(v) -> int:
     raise TypeError(f"cannot use {type(v)} as a Zp scalar")
 
 
+def _zp_int_or_none(v):
+    """int value, or None when `v` is a foreign type (e.g. a symbolic
+    algebra.Expr) — operators return NotImplemented then, so the DSL's
+    reflected operators can build deferred nodes."""
+    if isinstance(v, ZpNumber):
+        return v.value
+    if isinstance(v, int):
+        return v % R
+    return None
+
+
 class ZpNumber:
     """Scalar mod r (the group order).  ref: zp_number.hpp ZpNumber<>.
 
@@ -87,20 +98,30 @@ class ZpNumber:
     # -- arithmetic --------------------------------------------------
 
     def __add__(self, other):
-        return ZpNumber(self.value + _as_zp_int(other))
+        o = _zp_int_or_none(other)
+        if o is None:
+            return NotImplemented
+        return ZpNumber(self.value + o)
 
     __radd__ = __add__
 
     def __sub__(self, other):
-        return ZpNumber(self.value - _as_zp_int(other))
+        o = _zp_int_or_none(other)
+        if o is None:
+            return NotImplemented
+        return ZpNumber(self.value - o)
 
     def __rsub__(self, other):
-        return ZpNumber(_as_zp_int(other) - self.value)
+        o = _zp_int_or_none(other)
+        if o is None:
+            return NotImplemented
+        return ZpNumber(o - self.value)
 
     def __mul__(self, other):
-        if isinstance(other, (G1Element, G1Pow, G2Element, GTElement)):
+        o = _zp_int_or_none(other)
+        if o is None:
             return NotImplemented
-        return ZpNumber(self.value * _as_zp_int(other))
+        return ZpNumber(self.value * o)
 
     __rmul__ = __mul__
 
@@ -170,7 +191,10 @@ class G1Element:
         return NotImplemented
 
     def __pow__(self, e):
-        return G1Pow(self, _as_zp_int(e))
+        ei = _zp_int_or_none(e)
+        if ei is None:
+            return NotImplemented
+        return G1Pow(self, ei)
 
     __xor__ = __pow__
 
@@ -184,6 +208,12 @@ class G1Element:
 
     def point(self) -> "G1Element":
         return self
+
+    def in_subgroup(self) -> bool:
+        """r-torsion membership check (PAIR_G1member semantics,
+        pair_BLS12381.cpp:1100-1130; the reference wrapper never calls it —
+        exposed here as state-of-practice parse-time validation)."""
+        return C.g1_in_subgroup(self.pt)
 
     def inverse(self) -> "G1Element":
         return G1Element(C.g1_neg(self.pt))
@@ -209,11 +239,12 @@ class G1Element:
 
 
 def _msm_host(points, scalars):
-    """Host MSM for the scalar API (device Pippenger lives in msm/)."""
-    acc = None
-    for pt, s in zip(points, scalars):
-        acc = C.g1_add(acc, C.g1_mul(pt, s))
-    return acc
+    """Host MSM for the scalar API: joint double-scalar ladder for pairs
+    (ref ECP_clmul2), Pippenger buckets beyond (ref ECP_muln) — the device
+    Pippenger for batched arrays lives in msm/pippenger.py."""
+    if len(points) == 2:
+        return C.g1_mul2(points[0], scalars[0], points[1], scalars[1])
+    return C.g1_msm(points, scalars)
 
 
 class G1Pow:
@@ -238,13 +269,18 @@ class G1Pow:
         return G1Element(C.g1_mul(self.base.pt, self.exp))
 
     def __pow__(self, e):
-        return G1Pow(self.base, self.exp * _as_zp_int(e))
+        ei = _zp_int_or_none(e)
+        if ei is None:
+            return NotImplemented
+        return G1Pow(self.base, self.exp * ei)
 
     __xor__ = __pow__
 
     def __mul__(self, other):
         if isinstance(other, G1Pow):
-            return G1Element(_msm_host([self.base.pt, other.base.pt], [self.exp, other.exp]))
+            return G1Element(
+                C.g1_mul2(self.base.pt, self.exp, other.base.pt, other.exp)
+            )
         if isinstance(other, G1Element):
             return self.point() * other
         return NotImplemented
@@ -309,7 +345,10 @@ class G2Element:
         return NotImplemented
 
     def __pow__(self, e):
-        return G2Element(C.g2_mul(self.pt, _as_zp_int(e)))
+        ei = _zp_int_or_none(e)
+        if ei is None:
+            return NotImplemented
+        return G2Element(C.g2_mul(self.pt, ei))
 
     __xor__ = __pow__
 
@@ -323,6 +362,11 @@ class G2Element:
 
     def point(self) -> "G2Element":
         return self
+
+    def in_subgroup(self) -> bool:
+        """r-torsion membership check (PAIR_G2member semantics,
+        pair_BLS12381.cpp:1132-1160)."""
+        return C.g2_in_subgroup(self.pt)
 
     def inverse(self) -> "G2Element":
         return G2Element(C.g2_neg(self.pt))
@@ -367,7 +411,10 @@ class GTElement:
         return GTElement(F.fp12_mul(self.val, F.fp12_inv(o.val)))
 
     def __pow__(self, e):
-        return GTElement(F.fp12_pow(self.val, _as_zp_int(e)))
+        ei = _zp_int_or_none(e)
+        if ei is None:
+            return NotImplemented
+        return GTElement(F.fp12_pow(self.val, ei))
 
     __xor__ = __pow__
 
@@ -383,6 +430,11 @@ class GTElement:
 
     def value(self) -> "GTElement":
         return self
+
+    def in_subgroup(self) -> bool:
+        """GT membership: x^r == 1 (PAIR_GTmember semantics,
+        pair_BLS12381.cpp:1162-1177)."""
+        return F.fp12_eq(F.fp12_pow(self.val, R), F.FP12_ONE)
 
     def inverse(self) -> "GTElement":
         return GTElement(F.fp12_inv(self.val))

@@ -23,6 +23,7 @@ __all__ = [
     "Zp", "G1", "G2", "GT", "Set", "CartesianPower",
     "select_in", "parse", "serialize", "hash_", "sum_", "product_",
     "encode_to", "make_Zp", "polynomial", "create_random_engine",
+    "packed", "SerializedPack",
 ]
 
 
@@ -144,10 +145,14 @@ def _flatten_sets(sets) -> list[Set]:
 def parse(*args):
     """parse(SetA, SetB, ..., data).  data may be bytes or anything with a
     .serialize() -> treated as raw bytes.  Returns one element for a single
-    set, else a tuple in declaration order."""
+    set, else a tuple in declaration order.  A @packed struct class is also
+    accepted: parse(MyPack, data) -> MyPack instance (the reference's
+    struct-typed parse over trivially-copyable packs, set.hpp:114-203)."""
     *sets, data = args
     if not isinstance(data, (bytes, bytearray, memoryview)):
         data = bytes(data)
+    if len(sets) == 1 and isinstance(sets[0], type) and hasattr(sets[0], "_pack_fields"):
+        return sets[0].parse(bytes(data))
     flat = _flatten_sets(sets)
     total = sum(s.serialized_size for s in flat)
     if len(data) != total:
@@ -168,15 +173,103 @@ def _serialize_one(e) -> bytes:
     raise TypeError(f"cannot serialize {type(e)}")
 
 
-def serialize(*elems) -> bytes:
-    """Concatenated byte serialization (set.hpp serialize_pack)."""
+class SerializedPack(bytes):
+    """Bytes result of serialize(...) that can re-type itself into any
+    right-sized @packed struct — the Python analogue of the reference's
+    serialize_pack convertible / `.to(Struct)` (set.hpp:235-293)."""
+
+    def to(self, struct_cls):
+        if not hasattr(struct_cls, "_pack_fields"):
+            raise TypeError(f"{struct_cls!r} is not a @packed struct")
+        if len(self) != struct_cls.SERIALIZED_SIZE:
+            raise ValueError(
+                f"serialized pack is {len(self)} bytes; "
+                f"{struct_cls.__name__} needs {struct_cls.SERIALIZED_SIZE}"
+            )
+        return struct_cls.parse(bytes(self))
+
+
+def serialize(*elems) -> SerializedPack:
+    """Concatenated byte serialization (set.hpp serialize_pack); the result
+    is plain bytes that additionally supports `.to(PackedStruct)`."""
     out = bytearray()
     for e in elems:
         if isinstance(e, (list, tuple)):
             out += serialize(*e)
         else:
             out += _serialize_one(e)
-    return bytes(out)
+    return SerializedPack(out)
+
+
+def packed(cls):
+    """Declare a fixed-layout struct of group elements — the counterpart of
+    the reference's trivially-copyable packs with compile-time offsets
+    (serialized_field, interface.hpp:47-54; struct parse set.hpp:114-203).
+
+    Class attributes declare fields in order, each a Set or cartesian power:
+
+        @packed
+        class Signature:
+            h = G1
+            he = G1
+
+    The class gains SERIALIZED_SIZE, an __init__ over the fields,
+    ``parse(data)`` and ``serialize()``, and structural equality.
+    """
+    fields = [
+        (name, spec)
+        for name, spec in vars(cls).items()
+        if isinstance(spec, (Set, CartesianPower, ProductSet))
+    ]
+    if not fields:
+        raise TypeError(f"@packed class {cls.__name__} declares no fields")
+    names = [n for n, _ in fields]
+    specs = [s for _, s in fields]
+    sizes = [sum(f.serialized_size for f in _flatten_sets([s])) for s in specs]
+    cls._pack_fields = tuple(fields)
+    cls.SERIALIZED_SIZE = sum(sizes)
+
+    def __init__(self, *args, **kw):
+        vals = dict(zip(names, args))
+        vals.update(kw)
+        if set(vals) != set(names):
+            raise TypeError(f"{cls.__name__} needs fields {names}")
+        for n in names:
+            setattr(self, n, vals[n])
+
+    @classmethod
+    def _parse(kls, data: bytes):
+        if len(data) != kls.SERIALIZED_SIZE:
+            raise ValueError(
+                f"{kls.__name__}: need {kls.SERIALIZED_SIZE} bytes, "
+                f"got {len(data)}"
+            )
+        vals = []
+        off = 0
+        for spec, size in zip(specs, sizes):
+            vals.append(parse(spec, data[off : off + size]))
+            off += size
+        return kls(*vals)
+
+    def _serialize(self) -> SerializedPack:
+        return serialize(*(getattr(self, n) for n in names))
+
+    def __eq__(self, other):
+        if not isinstance(other, cls):
+            return NotImplemented
+        return all(getattr(self, n) == getattr(other, n) for n in names)
+
+    def __repr__(self):
+        inner = ", ".join(f"{n}={getattr(self, n)!r}" for n in names)
+        return f"{cls.__name__}({inner})"
+
+    cls.__init__ = __init__
+    cls.parse = _parse
+    cls.serialize = _serialize
+    cls.__eq__ = __eq__
+    cls.__hash__ = None
+    cls.__repr__ = __repr__
+    return cls
 
 
 # ---------------------------------------------------------------------------
@@ -230,8 +323,36 @@ def hash_(*args) -> HashState:
 # ---------------------------------------------------------------------------
 
 
-def sum_(items: Iterable):
-    """Σ over Zp values (lazy renormalisation is a host no-op)."""
+def _symbolic_terms(expr, spec) -> list:
+    """Materialize a symbolic Σ/Π body over its index range: `spec` is an
+    algebra.RangeSub (i.in_[n] / i.in_(range).except_(j)) or a bare count
+    (symbol defaults to `i`), mirroring the reference's Σ[n](expr) and
+    Σ[i.in(range).except(j)] notation (set.hpp:465-540)."""
+    from . import algebra as ALG
+
+    if isinstance(spec, int):
+        spec = ALG.RangeSub("i", lo=0, hi=spec)
+    if not isinstance(spec, ALG.RangeSub):
+        raise TypeError(f"bad symbolic range spec {spec!r}")
+    vals = spec.resolve()
+    if vals is None:
+        raise ValueError("symbolic range bounds must be concrete here")
+    return [
+        ALG.substitute(expr, **{spec.name: v}) if isinstance(expr, ALG.Expr)
+        else expr
+        for v in vals
+    ]
+
+
+def sum_(items, spec=None):
+    """Σ over Zp values (lazy renormalisation is a host no-op).
+
+    Two forms, as in the reference (set.hpp:465-505):
+      * ``sum_(iterable)`` — plain range reduction;
+      * ``sum_(expr, i.in_[n])`` — symbolic body over a bound index.
+    """
+    if spec is not None:
+        items = _symbolic_terms(items, spec)
     acc = None
     for it in items:
         acc = it if acc is None else acc + it
@@ -240,9 +361,16 @@ def sum_(items: Iterable):
     return acc
 
 
-def product_(items: Iterable):
+def product_(items, spec=None):
     """Π with the reference's fusions: G1 pows fuse into one MSM, GTPairs
-    into one multi-pairing."""
+    into one multi-pairing.
+
+    Accepts ``product_(iterable)`` or the symbolic
+    ``product_(expr, i.in_[n].except_(j))`` form (set.hpp:507-540); the
+    symbolic body materializes to a term list FIRST so the G1Pow/GTPair
+    fusion below still sees the whole product."""
+    if spec is not None:
+        items = _symbolic_terms(items, spec)
     items = list(items)
     if not items:
         raise ValueError("empty product")

@@ -339,6 +339,16 @@ def _mont_mul_xla(ctx: FieldCtx8, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray
 # ---------------------------------------------------------------------------
 
 _TILE = 512  # batch rows per kernel program (VMEM-bound; 1024 OOMs)
+#: product-loop grouping (pre-shifted copies of `a` shared per G digits of
+#: b).  Tuned on the v5e 2026-08-21: G=8 > 10 > 13 > 16; TILE 512 is the
+#: largest that compiles (768 slower, 1024 fails remote compile).
+_PROD_G = 8
+#: carry rounds inside the kernel for columns bounded by 50*2^16 < 2^22:
+#: q1 <= 2^14 -> digit <= 255+2^14; q2 <= 64 -> digit <= 319; q3 in [-1,1]
+#: -> digit in [-1, 256].  (norm_in keeps 4 rounds: its |limb| bound is 2^23.)
+_COL_ROUNDS = 3
+#: ablation switches for tools/tune_fp32.py profiling ONLY (wrong results)
+_ABL_NORM = _ABL_PROD = _ABL_REDC = False
 
 
 def _mm_kernel(ctx: FieldCtx8):
@@ -355,6 +365,8 @@ def _mm_kernel(ctx: FieldCtx8):
         maskLp = (lane_p < L).astype(jnp.float32)
 
         def norm_in(x):
+            if _ABL_NORM:
+                return jnp.concatenate([x, zpad], axis=1)
             c = jnp.concatenate([x + off_ref[:], zpad], axis=1)
             return carry_rounds(c)          # (T, 128); digits [-1, 256]
 
@@ -364,7 +376,7 @@ def _mm_kernel(ctx: FieldCtx8):
         # an has zeros at lanes >= L so shifted copies need no masks; the
         # G pre-shifted copies of an let each group of G digits of b share
         # one output shift (op count L*(2 + 1/G) instead of 3L).
-        G = 10
+        G = _PROD_G
         shifts = [an]
         for _ in range(1, G):
             shifts.append(
@@ -373,7 +385,7 @@ def _mm_kernel(ctx: FieldCtx8):
                 )
             )
         cols = jnp.zeros((T, 128), jnp.float32)
-        for j0 in range(0, L, G):
+        for j0 in range(0, 1 if _ABL_PROD else L, G):
             tacc = shifts[0] * bn[:, j0 : j0 + 1]
             for g in range(1, min(G, L - j0)):
                 tacc = tacc + shifts[g] * bn[:, j0 + g : j0 + g + 1]
@@ -382,7 +394,10 @@ def _mm_kernel(ctx: FieldCtx8):
                     [jnp.zeros((T, j0), jnp.float32), tacc[:, : 128 - j0]], 1
                 )
             cols = cols + tacc
-        t = carry_rounds(cols)              # digits [-1, 256], cols < 2L+2
+        t = carry_rounds(cols, _COL_ROUNDS)  # digits [-1, 256], cols < 2L+2
+        if _ABL_REDC:
+            o_ref[:] = t[:, :L]
+            return
         # ---- REDC: two constant multiplies on the MXU ----
         tl = t * maskL
         m_raw = jax.lax.dot_general(
@@ -391,7 +406,7 @@ def _mm_kernel(ctx: FieldCtx8):
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                   # (T, Lp)
-        m = carry_rounds(m_raw) * maskLp
+        m = carry_rounds(m_raw, _COL_ROUNDS) * maskLp
         mp = jax.lax.dot_general(
             m.astype(jnp.bfloat16),
             tp_ref[:].astype(jnp.bfloat16),
@@ -406,7 +421,7 @@ def _mm_kernel(ctx: FieldCtx8):
             + jnp.concatenate([mp[:, L:], jnp.zeros((T, L), jnp.float32)], 1)
             + carry * onehot0
         )
-        out = carry_rounds(hi)
+        out = carry_rounds(hi, _COL_ROUNDS)
         o_ref[:] = out[:, :L]
 
     return kernel

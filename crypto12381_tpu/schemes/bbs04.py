@@ -12,7 +12,8 @@ from dataclasses import dataclass
 from ..api.sets import (G1, G2, Zp, hash_, inverse, pair, parse, select_in,
                         serialize)
 
-__all__ = ["Keys", "key_gen", "sign", "verify", "open_signature"]
+__all__ = ["Keys", "key_gen", "sign", "verify", "open_signature",
+           "verify_batch", "open_batch"]
 
 
 @dataclass
@@ -94,3 +95,79 @@ def open_signature(gmsk: bytes, signature: bytes) -> bytes:
     xi1, xi2 = parse(Zp ** 2, gmsk)
     a = T3 / ((T1**xi1) * (T2**xi2))
     return serialize(a)
+
+
+def verify_batch(gpk: bytes, messages, signatures):
+    """Device-batched verify of B group signatures under one gpk.
+
+    All five recomputed commitments R1..R5 are batched device ladders and
+    the R3 pairing product is two batched Miller loops sharing one final
+    exponentiation (the reference verifies each signature with its own
+    double-ate, src/bbs.cpp:52-75); only the Fiat-Shamir SHA3 runs on host
+    over the serialized batch.  Returns a (B,) bool array.
+    """
+    import numpy as np
+
+    from ..api import batch as BT
+
+    B = len(messages)
+    assert len(signatures) == B
+    g1e, g2e, he, ue, ve, we = parse(G1, G2, G1 ** 3, G2, gpk)
+    sigs = [parse(G1 ** 3, Zp ** 6, s) for s in signatures]
+
+    T1 = BT.G1Vec.from_elements(s[0] for s in sigs)
+    T2 = BT.G1Vec.from_elements(s[1] for s in sigs)
+    T3 = BT.G1Vec.from_elements(s[2] for s in sigs)
+    c, sa, sb, sx, sd1, sd2 = (
+        BT.ZpVec.from_ints([s[i] for s in sigs]) for i in range(3, 9)
+    )
+
+    g1 = BT.G1Vec.from_elements([g1e]).broadcast_to((B,))
+    h = BT.G1Vec.from_elements([he]).broadcast_to((B,))
+    u = BT.G1Vec.from_elements([ue]).broadcast_to((B,))
+    v = BT.G1Vec.from_elements([ve]).broadcast_to((B,))
+    g2 = BT.G2Vec.from_elements([g2e]).broadcast_to((B,))
+    w = BT.G2Vec.from_elements([we]).broadcast_to((B,))
+
+    nc = -c
+    R1 = (u ** sa) * (T1 ** nc)
+    R2 = (v ** sb) * (T2 ** nc)
+    R4 = (T1 ** sx) * (u ** (-sd1))
+    R5 = (T2 ** sx) * (v ** (-sd2))
+    P = (T3 ** sx) * (h ** (-sd1 + -sd2)) * (g1 ** nc)
+    Q = (h ** (-(sa + sb))) * (T3 ** c)
+    R3 = BT.pair_prod((P, g2), (Q, w))
+
+    t1b, t2b, t3b = T1.serialize(), T2.serialize(), T3.serialize()
+    r1b, r2b, r4b, r5b = (x.serialize() for x in (R1, R2, R4, R5))
+    r3b = R3.serialize()
+    cs = c.to_ints()
+    ok = [
+        int(cs[i])
+        == hash_(_mb(messages[i]), t1b[i], t2b[i], t3b[i],
+                 r1b[i], r2b[i], r3b[i], r4b[i], r5b[i]).to(Zp).value
+        for i in range(B)
+    ]
+    return np.asarray(ok)
+
+
+def open_batch(gmsk: bytes, signatures):
+    """Device-batched signer tracing: A = T3/(T1^xi1 T2^xi2) for B
+    signatures in one batched double-ladder (src/bbs.cpp:77-86).
+    Returns a list of serialized G1 identities."""
+    from ..api import batch as BT
+
+    B = len(signatures)
+    xi1, xi2 = parse(Zp ** 2, gmsk)
+    sigs = [parse(G1 ** 3, Zp ** 6, s) for s in signatures]
+    T1 = BT.G1Vec.from_elements(s[0] for s in sigs)
+    T2 = BT.G1Vec.from_elements(s[1] for s in sigs)
+    T3 = BT.G1Vec.from_elements(s[2] for s in sigs)
+    x1 = BT.ZpVec.from_ints([xi1] * B)
+    x2 = BT.ZpVec.from_ints([xi2] * B)
+    a = T3 / ((T1 ** x1) * (T2 ** x2))
+    return a.serialize()
+
+
+def _mb(m) -> bytes:
+    return m.encode() if isinstance(m, str) else bytes(m)

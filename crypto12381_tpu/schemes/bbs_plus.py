@@ -10,7 +10,8 @@ from dataclasses import dataclass
 from ..api.sets import (G1, G2, Zp, encode_to, inverse, pair, parse,
                         product_, select_in, serialize)
 
-__all__ = ["PublicParameters", "Keys", "setup", "key_gen", "sign", "verify"]
+__all__ = ["PublicParameters", "Keys", "setup", "key_gen", "sign", "verify",
+           "verify_batch"]
 
 
 @dataclass
@@ -66,3 +67,42 @@ def verify(pp: PublicParameters, pk: bytes, message: bytes, signature: bytes) ->
     lhs = pair(A, w * (g2**x))
     rhs = pair(g1 * (h0**r) * product_([h[i] ** m[i] for i in range(n)]), g2)
     return lhs == rhs
+
+
+def verify_batch(pp: PublicParameters, pk: bytes, messages, signatures):
+    """Device-batched verify of B signatures under one (pp, pk).
+
+    Same shape as bbs.verify_batch with the extra h0^r blinding column:
+    e(Aᵢ, w·g2^xᵢ) == e(g1·h0^rᵢ·Π h_j^m_{ij}, g2) for the whole batch as
+    two batched Miller loops sharing one final exponentiation
+    (ref src/bbs+.cpp:57-73 evaluates each side per signature).
+    Returns a (B,) bool array.
+    """
+    import numpy as np
+
+    from ..api import batch as BT
+
+    B = len(messages)
+    assert len(signatures) == B
+    g1e, g2e, h0e = parse(G1, G2, G1, pp.g1_g2_h0)
+    he = [parse(G1, b) for b in pp.h]
+    we = parse(G2, pk)
+    n = max((len(m) for m in messages), default=0)
+    if n > len(he):
+        raise ValueError("message is too long")
+
+    sigs = [parse(G1, Zp, Zp, s) for s in signatures]
+    A = BT.G1Vec.from_elements(s[0] for s in sigs)
+    xs = BT.ZpVec.from_ints([s[1] for s in sigs])
+    rs = BT.ZpVec.from_ints([s[2] for s in sigs])
+    mm = [[parse(Zp, m[i]).value if i < len(m) else 0 for i in range(n)]
+          for m in messages]
+    g2 = BT.G2Vec.from_elements([g2e]).broadcast_to((B,))
+    w = BT.G2Vec.from_elements([we]).broadcast_to((B,))
+    h0 = BT.G1Vec.from_elements([h0e]).broadcast_to((B,))
+    base = BT.G1Vec.from_elements([g1e]).broadcast_to((B,)) * (h0 ** rs)
+    for i in range(n):
+        hi = BT.G1Vec.from_elements([he[i]]).broadcast_to((B,))
+        base = base * (hi ** BT.ZpVec.from_ints([row[i] for row in mm]))
+    ok = BT.pair_prod((A, w * (g2 ** xs)), (base.inverse(), g2)).is_one()
+    return np.asarray(ok)

@@ -11,8 +11,9 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
+from ..api.algebra import algebraic, symbols
 from ..api.sets import (G1, G2, Zp, hash_, inverse, make_Zp, pair, parse,
-                        polynomial, product_, select_in, serialize)
+                        polynomial, product_, select_in, serialize, sum_)
 from ..api.elements import ZpNumber
 from . import bbs
 
@@ -213,12 +214,19 @@ def cred_pres(pp, creds: Creds, group: PresGroup, ptype: PresType, Prv,
     def beta_k(k):  # slice for k in [1, t)
         return beta_share[(k - 1) * len(Prv) : k * len(Prv)]
 
+    # Σ/Π via the symbolic DSL, in the reference's index notation
+    # (src/cred_pres.cpp:60-112: Π[i.in(Hid)](h_i^β_i), Σ[k.in(t)](...)).
+    i_, k_ = symbols("ii kk")
+    h_r, Hid_r, Prv_r = algebraic(h), algebraic(Hid), algebraic(Prv)
+    bsj = algebraic(beta_share_j)
+
     Uj = (C_rev**alpha) * product_(
-        [h[Hid[ii]] ** beta_share_j[ii] for ii in range(len(Hid))]
+        h_r[Hid_r[i_]] ** bsj[i_], i_.in_[len(Hid)]
     ) * (A_ ** gamma_share[j])
 
     Uks = [
-        product_([h[Prv[ii]] ** beta_k(k)[ii] for ii in range(len(Prv))])
+        product_(h_r[Prv_r[i_]] ** algebraic(beta_k(k))[i_],
+                 i_.in_[len(Prv)])
         * (A_ ** gamma_share[k])
         for k in range(1, t)
     ]
@@ -226,17 +234,19 @@ def cred_pres(pp, creds: Creds, group: PresGroup, ptype: PresType, Prv,
 
     ch = hash_(U, A_, B_, [pub_a[ii] for ii in I_Pub_in_Rev]).to(Zp)
 
-    # responses (aggregator j=0 uses beta_share_j; parties k>=1 their slices)
-    z = []
-    for ii in range(len(Prv)):
-        acc = beta_share_j[ii] + ch * (r * a_share[S[j]][ii] * lam[j])
-        for k in range(1, t):
-            acc = acc + beta_k(k)[ii] + ch * (r * a_share[S[k]][ii] * lam[k])
-        z.append(acc)
-    ze = None
-    for k in range(t):
-        term = gamma_share[k] + ch * (-e_share[S[k]] * lam[k])
-        ze = term if ze is None else ze + term
+    # responses (aggregator j=0 uses beta_share_j; parties k>=1 their
+    # slices) — Σ over the party index k as a symbolic body
+    beta_rows = algebraic([beta_share_j] + [beta_k(k) for k in range(1, t)])
+    S_r, lam_r = algebraic(S), algebraic(lam)
+    a_share_r, e_share_r = algebraic(a_share), algebraic(e_share)
+    gamma_r = algebraic(gamma_share)
+    z = [
+        sum_(beta_rows[k_][ii] + ch * (r * a_share_r[S_r[k_]][ii] * lam_r[k_]),
+             k_.in_[t])
+        for ii in range(len(Prv))
+    ]
+    ze = sum_(gamma_r[k_] + ch * (-(e_share_r[S_r[k_]]) * lam_r[k_]),
+              k_.in_[t])
     zr = alpha + ch * r
 
     I_Pub_in_HidPub = [i for i in range(len(Pub)) if Pub[i] in HidPub]
@@ -281,3 +291,68 @@ def verify_pres(pp, pk: bytes, ptype: PresType, Prv, public_attributes,
     ok_ch = ch == hash_(U, A_, B_, [pub_a[ii] for ii in I_Pub_in_Rev]).to(Zp)
     ok_pair = pair(A_, w) == pair(B_, g2)
     return ok_ch and ok_pair
+
+
+def verify_pres_batch(pp, pk: bytes, ptype: PresType, Prv, public_attributes,
+                      presentations):
+    """Device-batched presentation verify: B presentations under one
+    (pp, pk, ptype, Prv, public_attributes).
+
+    The C_hid multi-exp Π h_i^z and the U recombination run as batched G1
+    ladders over the whole batch, and the e(A,w) == e(B,g2) check is two
+    batched Miller loops under ONE shared final exponentiation (the
+    reference verifies each presentation separately, src/verify_pres.cpp);
+    only the Fiat-Shamir SHA3 runs on host.  Returns a (B,) bool array.
+    """
+    import numpy as np
+
+    from ..api import batch as BT
+
+    B = len(presentations)
+    g2e = parse(G1, G2, pp.g1_g2)[1]
+    he = [parse(G1, b) for b in pp.h]
+    we = parse(G2, pk)
+    Rev = ptype.Rev
+    C_reve = parse(G1, ptype.C_rev)
+    pub_a = [parse(Zp, b) for b in public_attributes]
+
+    m = len(he)
+    Hid = [i for i in range(m) if i not in Rev]
+    Hid_Pub = [i for i in Hid if i not in Prv]
+    Pub = _pub_of(m, Prv)
+    I_Pub_in_Rev = [i for i in range(len(Pub)) if Pub[i] in Rev]
+
+    parsed = [parse(G1 ** 2, Zp ** 3, p.fixed_part) for p in presentations]
+    A_ = BT.G1Vec.from_elements(p[0] for p in parsed)
+    B_ = BT.G1Vec.from_elements(p[1] for p in parsed)
+    ch = BT.ZpVec.from_ints([p[2] for p in parsed])
+    zr = BT.ZpVec.from_ints([p[3] for p in parsed])
+    ze = BT.ZpVec.from_ints([p[4] for p in parsed])
+    zs = [[parse(Zp, b) for b in p.z] for p in presentations]
+    zhp = [[parse(Zp, b) for b in p.z_hid_pub] for p in presentations]
+
+    C_rev = BT.G1Vec.from_elements([C_reve]).broadcast_to((B,))
+    U = (B_ ** (-ch)) * (C_rev ** zr) * (A_ ** ze)
+    for ii in range(len(Prv)):
+        hv = BT.G1Vec.from_elements([he[Prv[ii]]]).broadcast_to((B,))
+        U = U * (hv ** BT.ZpVec.from_ints([z[ii] for z in zs]))
+    for ii in range(len(Hid_Pub)):
+        hv = BT.G1Vec.from_elements([he[Hid_Pub[ii]]]).broadcast_to((B,))
+        U = U * (hv ** BT.ZpVec.from_ints([z[ii] for z in zhp]))
+
+    g2 = BT.G2Vec.from_elements([g2e]).broadcast_to((B,))
+    w = BT.G2Vec.from_elements([we]).broadcast_to((B,))
+    ok_pair = np.asarray(
+        BT.pair_prod((A_, w), (B_.inverse(), g2)).is_one()
+    )
+
+    ub = U.serialize()
+    ab = A_.serialize()
+    bb = B_.serialize()
+    cs = ch.to_ints()
+    pub_rev = [pub_a[ii] for ii in I_Pub_in_Rev]
+    ok_ch = np.asarray([
+        int(cs[i]) == hash_(ub[i], ab[i], bb[i], pub_rev).to(Zp).value
+        for i in range(B)
+    ])
+    return ok_pair & ok_ch

@@ -13,12 +13,14 @@ from dataclasses import dataclass
 
 from ..api.sets import (G1, G2, Zp, encode_to, hash_, pair, parse, product_,
                         select_in, serialize, sum_)
+from ..api.algebra import algebraic, symbols, transform
 from ..api.elements import G1Pow, ZpNumber
 
 __all__ = [
     "Keys", "KeysN", "As",
     "key_gen", "key_gen_n", "sign", "sign_n", "verify", "verify_n",
-    "verify_batch", "randomnize",
+    "verify_batch",
+    "verify_n_batch", "randomnize",
 ]
 
 
@@ -133,7 +135,10 @@ def verify_n(pk: KeysN, message: bytes, signature: bytes) -> bool:
     X2 = parse(G2, pk.X2)
     Y2 = [parse(G2, b) for b in pk.Y2]
     s1, s2 = parse(G1 ** 2, signature)
-    acc = product_([Y2[i] ** m[i] for i in range(n)])
+    # Π[i.in[n]](Y2_i^m_i) in the reference's symbolic index notation
+    # (src/ps.cpp:84-99); the materialized terms fuse as one G2 multi-exp.
+    i_, = symbols("i_")
+    acc = product_(algebraic(Y2)[i_] ** algebraic(m)[i_], i_.in_[n])
     return pair(s1, X2 * acc) == pair(s2, g2)
 
 
@@ -181,11 +186,52 @@ class As:
         g1, X1, g2, X2 = parse(G1 ** 2, G2 ** 2, self.pp)
         Y2 = [parse(G2, b) for b in pks]
         r = len(messages)
-        m = [hash_(_as_bytes(messages[i])).to(Zp) for i in range(r)]
+        # symbolic hash-range + Π, reference style (src/ps.cpp:125-146):
+        # the hash of each message materializes through a transform range
+        m = transform(messages, lambda mm: hash_(_as_bytes(mm)).to(Zp))
         s1, s2 = parse(G1 ** 2, signature)
-        acc = product_([Y2[i] ** m[i] for i in range(r)])
+        i_, = symbols("i_")
+        acc = product_(algebraic(Y2)[i_] ** m[i_], i_.in_[r])
         return pair(s1, X2 * acc) == pair(s2, g2)
 
 
 def _as_bytes(m) -> bytes:
     return m.encode() if isinstance(m, str) else bytes(m)
+
+
+def verify_n_batch(pk: KeysN, messages, signatures):
+    """Device-batched multi-message verify: B signatures, each checking
+    e(s1ᵢ, X2·Π_j Y2_j^m_{ij}) == e(s2ᵢ, g2).
+
+    The Π_j Y2_j^m_{ij} G2 multi-exponentiation runs as n batched GS
+    ladders over the whole batch (the reference does n eager PAIR_G2mul
+    per signature, src/ps.cpp:84-99), and both pairing sides share one
+    batched final exponentiation.  Returns a (B,) bool array.
+    """
+    import numpy as np
+
+    from ..api import batch as BT
+
+    B = len(messages)
+    assert len(signatures) == B
+    g2e = parse(G2, pk.g2)
+    X2e = parse(G2, pk.X2)
+    Y2e = [parse(G2, b) for b in pk.Y2]
+    ms = [encode_to(Zp, _as_bytes(m)) for m in messages]
+    n = max((len(m) for m in ms), default=0)
+    if n > len(Y2e):
+        raise ValueError("message is too long")
+
+    sigs = [parse(G1 ** 2, s) for s in signatures]
+    s1 = BT.G1Vec.from_elements(s[0] for s in sigs)
+    s2 = BT.G1Vec.from_elements(s[1] for s in sigs)
+    g2 = BT.G2Vec.from_elements([g2e]).broadcast_to((B,))
+    acc = BT.G2Vec.from_elements([X2e]).broadcast_to((B,))
+    for j in range(n):
+        yj = BT.G2Vec.from_elements([Y2e[j]]).broadcast_to((B,))
+        ej = BT.ZpVec.from_ints(
+            [m[j].value if j < len(m) else 0 for m in ms]
+        )
+        acc = acc * (yj ** ej)
+    ok = BT.pair_prod((s1, acc), (s2.inverse(), g2)).is_one()
+    return np.asarray(ok)

@@ -8,7 +8,9 @@ batched Horner over the device scalar field).
 
 from __future__ import annotations
 
-from ..api.sets import Zp, make_Zp, parse, polynomial, select_in, serialize
+from ..api.algebra import algebraic, symbols
+from ..api.sets import (Zp, make_Zp, parse, polynomial, product_, select_in,
+                        serialize)
 from ..api.elements import ZpNumber
 
 __all__ = ["share", "reconstruct"]
@@ -23,16 +25,18 @@ def share(t: int, n: int, secret: bytes, random) -> list[bytes]:
 
 
 def reconstruct(indexes, shares) -> bytes:
-    """Lagrange interpolation at 0 over the given share subset."""
+    """Lagrange interpolation at 0 over the given share subset, in the
+    reference's symbolic notation Σ[i](y_i · Π[j.in[t].except(i)](
+    -x_j/(x_i-x_j))) (src/sss.cpp:14-21)."""
     t = len(indexes)
-    x = [make_Zp(i) for i in indexes]
-    y = [parse(Zp, s) for s in shares]
+    x = algebraic([make_Zp(i) for i in indexes])
+    y = algebraic([parse(Zp, s) for s in shares])
     acc = ZpNumber(0)
+    j_, = symbols("j_")
     for i in range(t):
-        lam = ZpNumber(1)
-        for j in range(t):
-            if j == i:
-                continue
-            lam = lam * (-x[j] / (x[i] - x[j]))
+        if t == 1:
+            lam = ZpNumber(1)
+        else:
+            lam = product_(-(x[j_]) / (x[i] - x[j_]), j_.in_[t].except_(i))
         acc = acc + y[i] * lam
     return serialize(acc)

@@ -75,3 +75,61 @@ def test_sequence_adaptors():
     assert s.materialize() == [0, 4, 16]
     assert sequence(2, 5).materialize() == [2, 3, 4]
     assert algebraic([1, 2, 3]).except_(2).materialize() == [1, 3]
+
+
+def test_symbolic_sum_prod_in_sets():
+    """sum_/product_ accept DSL Sum/Prod-style (expr, range) forms."""
+    from crypto12381_tpu.api.algebra import algebraic, symbols
+    from crypto12381_tpu.api.elements import ZpNumber
+    from crypto12381_tpu.api.sets import product_, sum_
+
+    i_, = symbols("i_")
+    vals = algebraic([ZpNumber(v) for v in (3, 5, 7, 11)])
+    assert sum_(vals[i_], i_.in_[4]) == ZpNumber(26)
+    assert sum_(vals[i_], i_.in_[1, 4]) == ZpNumber(23)
+    assert product_(vals[i_], i_.in_[4].except_(2)) == ZpNumber(165)
+    # nested subscripts rows[k][col] defer until every index binds
+    rows = algebraic([[ZpNumber(1), ZpNumber(2)], [ZpNumber(3), ZpNumber(4)]])
+    k_, = symbols("k_")
+    assert sum_(rows[k_][1], k_.in_[2]) == ZpNumber(6)
+
+
+def test_symbolic_g1_pow_product_fuses():
+    from crypto12381_tpu.api.algebra import algebraic, symbols
+    from crypto12381_tpu.api.elements import G1Element, ZpNumber
+    from crypto12381_tpu.api.sets import product_
+
+    g = G1Element.generator()
+    i_, = symbols("i_")
+    es = algebraic([ZpNumber(2), ZpNumber(3), ZpNumber(4)])
+    sym = product_(g ** es[i_], i_.in_[3])
+    ref = (g ** 2).point() * (g ** 3) * (g ** 4)
+    assert sym == ref
+
+
+def test_packed_struct_parse_serialize():
+    """Struct-typed parse/serialize (ref set.hpp:114-293)."""
+    from crypto12381_tpu.api.sets import (G1, Zp, SerializedPack, packed,
+                                          parse, serialize)
+    from crypto12381_tpu.api.sets import create_random_engine, select_in
+
+    @packed
+    class Sig:
+        h = G1
+        s = G1
+        e = Zp
+
+    r = create_random_engine("packed")
+    h = select_in(G1, r).point()
+    s = select_in(G1, r).point()
+    e = select_in(Zp, r)
+    blob = serialize(h, s, e)
+    assert isinstance(blob, SerializedPack) and isinstance(blob, bytes)
+    assert Sig.SERIALIZED_SIZE == 49 + 49 + 48 == len(blob)
+    # serialize(...).to(Struct) re-types the pack
+    sig = blob.to(Sig)
+    assert sig.h == h and sig.s == s and sig.e == e
+    # parse(Struct, data) and instance round-trip
+    sig2 = parse(Sig, bytes(blob))
+    assert sig2 == sig
+    assert bytes(sig2.serialize()) == bytes(blob)

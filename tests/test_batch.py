@@ -99,3 +99,49 @@ def test_bbs_verify_batch_matches_scalar():
     sigs = [bbs.sign(pp, keys.sk, m, r) for m in msgs]
     ok = bbs.verify_batch(pp, keys.pk, msgs, sigs)
     assert list(np.asarray(ok)) == [True] * 3
+
+
+def test_bbs_plus_verify_batch_matches_scalar():
+    from crypto12381_tpu.schemes import bbs_plus
+
+    r = create_random_engine("batch-bbs+")
+    pp = bbs_plus.setup(4, r)
+    keys = bbs_plus.key_gen(pp, r)
+    msgs = [bytes([i + 1]) * 40 for i in range(3)]
+    sigs = [bbs_plus.sign(pp, keys.sk, m, r) for m in msgs]
+    assert all(bbs_plus.verify(pp, keys.pk, m, s) for m, s in zip(msgs, sigs))
+    ok = bbs_plus.verify_batch(pp, keys.pk, msgs, sigs)
+    assert list(np.asarray(ok)) == [True] * 3
+    ok2 = bbs_plus.verify_batch(pp, keys.pk, msgs, [sigs[1], sigs[1], sigs[2]])
+    assert list(np.asarray(ok2)) == [False, True, True]
+
+
+def test_bbs04_verify_and_open_batch_match_scalar():
+    from crypto12381_tpu.schemes import bbs04
+
+    r = create_random_engine("batch-bbs04")
+    keys = bbs04.key_gen(3, r)
+    msgs = [b"msg-%d" % i for i in range(3)]
+    sigs = [bbs04.sign(keys.gpk, keys.gsk[i], msgs[i], r) for i in range(3)]
+    assert all(bbs04.verify(keys.gpk, m, s) for m, s in zip(msgs, sigs))
+    ok = bbs04.verify_batch(keys.gpk, msgs, sigs)
+    assert list(np.asarray(ok)) == [True] * 3
+    ok2 = bbs04.verify_batch(keys.gpk, [msgs[1], msgs[1], msgs[2]], sigs)
+    assert list(np.asarray(ok2)) == [False, True, True]
+    opened = bbs04.open_batch(keys.gmsk, sigs)
+    scalar = [bbs04.open_signature(keys.gmsk, s) for s in sigs]
+    assert opened == scalar
+
+
+def test_ps_verify_n_batch_matches_scalar():
+    from crypto12381_tpu.schemes import ps
+
+    r = create_random_engine("batch-ps-n")
+    keys = ps.key_gen_n(3, r)
+    msgs = [bytes([i + 7]) * 62 for i in range(3)]
+    sigs = [ps.sign_n(keys, m, r) for m in msgs]
+    assert all(ps.verify_n(keys, m, s) for m, s in zip(msgs, sigs))
+    ok = ps.verify_n_batch(keys, msgs, sigs)
+    assert list(np.asarray(ok)) == [True] * 3
+    ok2 = ps.verify_n_batch(keys, [msgs[1], msgs[1], msgs[2]], sigs)
+    assert list(np.asarray(ok2)) == [False, True, True]
