@@ -55,6 +55,10 @@ class Set:
         parts = other.parts if isinstance(other, ProductSet) else (other,)
         return ProductSet((self,) + parts)
 
+    def __mul__(self, other):
+        """A * B — the reference's alias for A | B (set.hpp:596-627)."""
+        return self.__or__(other)
+
     def __repr__(self):
         return ("*" if self.star else "") + self.name
 
@@ -83,6 +87,14 @@ class ProductSet:
     @property
     def serialized_size(self) -> int:
         return sum(p.serialized_size for p in self.parts)
+
+    def __or__(self, other):
+        parts = other.parts if isinstance(other, ProductSet) else (other,)
+        return ProductSet(self.parts + parts)
+
+    def __mul__(self, other):
+        """A * B — the reference's alias for A | B (set.hpp:596-627)."""
+        return self.__or__(other)
 
 
 Zp = Set("Zp", ZP_BYTES)
@@ -425,8 +437,13 @@ def make_Zp(x: int) -> ZpNumber:
 
 
 def polynomial(x, a0, coeffs: Sequence) -> Any:
-    """a0 + sum a_i x^i (zp_number.hpp:947-968; exact powers, no float
-    caveat)."""
+    """a0 + sum a_i x^i.
+
+    DELIBERATE deviation from the reference: zp_number.hpp:947-968 computes
+    x^i with std::pow on doubles, which silently loses precision for
+    integer x with x^i >= 2^53; here the powers are exact modular integers.
+    For the small share indices the examples use (x <= ~1000, i <= ~6) the
+    two agree bit-for-bit — the golden SSS vectors prove it."""
     xi = _coerce_int(x)
     acc = a0
     p = 1

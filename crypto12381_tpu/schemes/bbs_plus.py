@@ -87,7 +87,8 @@ def verify_batch(pp: PublicParameters, pk: bytes, messages, signatures):
     g1e, g2e, h0e = parse(G1, G2, G1, pp.g1_g2_h0)
     he = [parse(G1, b) for b in pp.h]
     we = parse(G2, pk)
-    n = max((len(m) for m in messages), default=0)
+    enc = [encode_to(Zp, m) for m in messages]
+    n = max((len(e) for e in enc), default=0)
     if n > len(he):
         raise ValueError("message is too long")
 
@@ -95,8 +96,7 @@ def verify_batch(pp: PublicParameters, pk: bytes, messages, signatures):
     A = BT.G1Vec.from_elements(s[0] for s in sigs)
     xs = BT.ZpVec.from_ints([s[1] for s in sigs])
     rs = BT.ZpVec.from_ints([s[2] for s in sigs])
-    mm = [[parse(Zp, m[i]).value if i < len(m) else 0 for i in range(n)]
-          for m in messages]
+    mm = [[e[i].value if i < len(e) else 0 for i in range(n)] for e in enc]
     g2 = BT.G2Vec.from_elements([g2e]).broadcast_to((B,))
     w = BT.G2Vec.from_elements([we]).broadcast_to((B,))
     h0 = BT.G1Vec.from_elements([h0e]).broadcast_to((B,))

@@ -133,6 +133,75 @@ def test_bbs04_verify_and_open_batch_match_scalar():
     assert opened == scalar
 
 
+def test_sss_batch_matches_scalar():
+    """share_batch/reconstruct_batch produce the scalar paths' exact bytes
+    (same CSPRNG draws; ref examples/shamir-secret-sharing params 4-of-6)."""
+    from crypto12381_tpu.schemes import sss
+
+    secret = bytes(range(17, 65))
+    secret = (int.from_bytes(secret, "big") % R).to_bytes(48, "big")
+    r1 = create_random_engine("batch-sss")
+    shares_scalar = sss.share(4, 6, secret, r1)
+    r2 = create_random_engine("batch-sss")
+    shares_batch = sss.share_batch(4, 6, secret, r2)
+    assert shares_batch == shares_scalar
+    subset = [1, 3, 4, 6]
+    picked = [shares_scalar[i - 1] for i in subset]
+    assert sss.reconstruct(subset, picked) == secret
+    assert sss.reconstruct_batch(subset, picked) == secret
+    # larger n exercises the broadcast/tree paths
+    r3 = create_random_engine("batch-sss-big")
+    big = sss.share_batch(5, 37, secret, r3)
+    idx = [2, 9, 17, 23, 36]
+    assert sss.reconstruct_batch(idx, [big[i - 1] for i in idx]) == secret
+
+
+def test_mhac_verify_pres_batch_matches_scalar():
+    """VERDICT r2 missing #5: scalar-vs-batch on the MHAC presentation flow
+    (ref examples/MHAC-bbs parameters: m=4, Prv={0,2}, t=3, n=6, Rev={1})."""
+    from crypto12381_tpu.schemes import mhac_bbs
+
+    random = create_random_engine("batch-mhac")
+    setup = mhac_bbs.iss_setup(4, random)
+    pp, keys = setup.pp, setup.keys
+    Prv, Pub = [0, 2], [1, 3]
+    attr_info = mhac_bbs.generate_attributes(pp, 3, 6, Prv, random)
+    creds = mhac_bbs.cred_iss(
+        pp, keys.sk, 3, attr_info.commitments, Pub,
+        attr_info.public_attributes, random,
+    )
+    group = mhac_bbs.make_pres_group(creds, [0, 2, 5])
+    ptype = mhac_bbs.make_pres_type(pp, [1], Prv, attr_info.public_attributes)
+    press = [
+        mhac_bbs.cred_pres(
+            pp, creds, group, ptype, Prv, attr_info.public_attributes,
+            attr_info.private_attributes_share, random,
+        )
+        for _ in range(3)
+    ]
+    scalar = [
+        mhac_bbs.verify_pres(
+            pp, keys.pk, ptype, Prv, attr_info.public_attributes, p
+        )
+        for p in press
+    ]
+    assert scalar == [True] * 3
+    ok = mhac_bbs.verify_pres_batch(
+        pp, keys.pk, ptype, Prv, attr_info.public_attributes, press
+    )
+    assert list(np.asarray(ok)) == scalar
+    # tamper one presentation: its slot (and only its slot) goes False
+    bad = mhac_bbs.Presentation(
+        fixed_part=press[0].fixed_part, z=list(press[1].z),
+        z_hid_pub=list(press[0].z_hid_pub),
+    )
+    ok2 = mhac_bbs.verify_pres_batch(
+        pp, keys.pk, ptype, Prv, attr_info.public_attributes,
+        [bad, press[1], press[2]],
+    )
+    assert list(np.asarray(ok2)) == [False, True, True]
+
+
 def test_ps_verify_n_batch_matches_scalar():
     from crypto12381_tpu.schemes import ps
 

@@ -11,13 +11,30 @@ import pathlib
 import pytest
 
 from crypto12381_tpu.api.sets import Zp, create_random_engine, select_in, serialize
-from crypto12381_tpu.schemes import bbs, bbs_plus, sss
+from crypto12381_tpu.schemes import bbs, bbs_plus, ps, sss
 
 VEC_DIR = pathlib.Path(__file__).parent / "vectors"
 
 
 def _vec(name):
     return json.loads((VEC_DIR / name).read_text())
+
+
+def test_ps_flow_bytes():
+    """North-star config (ref example_ps.cpp, examples/ps/test.cpp:19-41):
+    keygen -> sign -> re-randomize -> verify, every artifact byte-exact
+    against tools/oracle/dump_ps_flow.cpp run on the reference build."""
+    vec = _vec("ps_flow.json")
+    r = create_random_engine("seed")
+    keys = ps.key_gen(r)
+    assert keys.pk.hex() == vec["g2"] + vec["X2"] + vec["Y2"]
+    assert keys.sk.hex() == vec["sk"]
+    msg = b"\x00" * 47 + bytes([23])
+    sig = ps.sign(keys.sk, msg, r)
+    assert sig.hex() == vec["signature"]
+    rand_sig = ps.randomnize(sig, r)
+    assert rand_sig.hex() == vec["signature_rand"]
+    assert ps.verify(keys.pk, msg, rand_sig) == vec["verify"] is True
 
 
 def test_bbs_flow_bytes():
