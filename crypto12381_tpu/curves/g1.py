@@ -30,6 +30,14 @@ def _select(mask, a, b):
     return jnp.where(mask[..., None], a, b)
 
 
+def _fused_add(p, q):
+    """Whole RCB addition as one Pallas kernel (fields/fp32k)."""
+    from ..fields import fp32k as FK
+
+    arrs = jnp.broadcast_arrays(*p, *q)
+    return tuple(FK.fused("g1_add", *arrs))
+
+
 @functools.lru_cache(maxsize=1)
 def ops() -> W.FieldOps:
     # host-side Montgomery constant: lru-cached closures must never capture
@@ -48,6 +56,7 @@ def ops() -> W.FieldOps:
         tighten=lambda a: FP.tighten(CTX, a),
         b3_const=b3,
         elem_ndim=1,
+        fused_add=_fused_add if FP.ENGINE == "fp32" else None,
     )
 
 

@@ -30,6 +30,18 @@ def _select(mask, a, b):
     return jnp.where(mask[..., None, None], a, b)
 
 
+def _fused_add(p, q):
+    """Whole RCB Fp2 addition as one Pallas kernel (fields/fp32k)."""
+    from ..fields import fp32k as FK
+
+    coords = jnp.broadcast_arrays(*p, *q)          # 6 x (..., 2, L)
+    comps = [c[..., j, :] for c in coords for j in (0, 1)]
+    outs = FK.fused("g2_add", *comps)
+    return tuple(
+        jnp.stack([outs[2 * i], outs[2 * i + 1]], axis=-2) for i in range(3)
+    )
+
+
 @functools.lru_cache(maxsize=1)
 def ops() -> W.FieldOps:
     # host-side Montgomery constant (see g1.ops note on lru-cached tracers)
@@ -50,6 +62,7 @@ def ops() -> W.FieldOps:
         tighten=lambda a: FP.tighten(FP.FP_CTX, a),
         b3_const=b3,
         elem_ndim=2,
+        fused_add=_fused_add if FP.ENGINE == "fp32" else None,
     )
 
 

@@ -39,6 +39,11 @@ class FieldOps:
     b3_const: Any                 # field element: 3*b (broadcastable)
     #: element ndim past batch dims (1 for Fp (L,), 2 for Fp2 (2,L))
     elem_ndim: int = 1
+    #: optional fused single-kernel complete add (fields/fp32k); takes
+    #: (p, q) point tuples and returns the sum — used when available
+    fused_add: Any = None
+    #: optional fused mixed add: (p, (X2, Y2)) with implicit Z2 = 1
+    fused_madd: Any = None
 
 
 def identity(ops: FieldOps, batch=()):
@@ -55,7 +60,13 @@ def negate(ops: FieldOps, p):
 
 def add(ops: FieldOps, p, q):
     """Complete addition (RCB15 Alg. 7, b3 = 3b): 14 field muls in three
-    stacked multiplication rounds."""
+    stacked multiplication rounds (or ONE fused kernel when the fp32
+    engine's fused path is on)."""
+    if ops.fused_add is not None:
+        from ..fields import fp32k as FK
+
+        if FK.enabled():
+            return ops.fused_add(p, q)
     X1, Y1, Z1 = p
     X2, Y2, Z2 = q
     b3 = ops.b3_const
@@ -91,6 +102,49 @@ def double(ops: FieldOps, p):
     """Complete doubling = add(p, p) (dedicated 8M formula is a later
     optimization; completeness keeps it branchless)."""
     return add(ops, p, p)
+
+
+def madd(ops: FieldOps, p, q):
+    """Mixed complete addition p + (X2 : Y2 : 1) — RCB15 Alg. 7 with
+    Z2 = 1 folded in: 13 field muls instead of 14, and exception-free for
+    every p (q must NOT be the identity, which has no Z=1 representative;
+    MSM guarantees that by padding with the generator at scalar 0).
+
+    This is the Pippenger bucket-phase workhorse (the reference's ECP_muln
+    accumulates affine points the same way, ecp_BLS12381.cpp:1112-1148).
+    """
+    if ops.fused_madd is not None:
+        from ..fields import fp32k as FK
+
+        if FK.enabled():
+            return ops.fused_madd(p, q)
+    X1, Y1, Z1 = p
+    X2, Y2 = q
+    b3 = ops.b3_const
+    m = ops.mul_many(
+        [
+            (X1, X2),
+            (Y1, Y2),
+            (ops.add(X1, Y1), ops.add(X2, Y2)),
+            (X2, Z1),
+            (Y2, Z1),
+        ]
+    )
+    t0, t1, m3, zx, zy = m
+    t3 = ops.sub(m3, ops.add(t0, t1))        # X1Y2 + X2Y1
+    t4 = ops.add(zy, Y1)                     # Y1Z2 + Y2Z1
+    t5 = ops.add(zx, X1)                     # X1Z2 + X2Z1
+    w = ops.add(ops.add(t0, t0), t0)         # 3 X1X2
+    bt2, bt5 = ops.mul_many([(b3, Z1), (b3, t5)])
+    z3a = ops.add(t1, bt2)
+    t1m = ops.sub(t1, bt2)
+    c = ops.mul_many(
+        [(t3, t1m), (t4, bt5), (bt5, w), (t1m, z3a), (w, t3), (z3a, t4)]
+    )
+    X3 = ops.sub(c[0], c[1])
+    Y3 = ops.add(c[3], c[2])
+    Z3 = ops.add(c[5], c[4])
+    return (ops.tighten(X3), ops.tighten(Y3), ops.tighten(Z3))
 
 
 def select_point(ops: FieldOps, mask, p, q):

@@ -32,6 +32,28 @@ from . import active as FP
 CTX = FP.FP_CTX
 L = CTX.L
 
+try:  # fused single-kernel tower ops (fp32 engine only)
+    from . import fp32k as FK
+except Exception:  # pragma: no cover
+    FK = None
+
+
+def _fused_on() -> bool:
+    return FK is not None and FK.enabled()
+
+
+def _flat12(x):
+    """fp12 (..., 2, 3, 2, L) -> 12 component arrays (..., L) in
+    [h][c][re/im] order (a pure reshape — the memory order already agrees
+    with fp32k's component convention)."""
+    batch = x.shape[:-4]
+    v = x.reshape(batch + (12, L))
+    return [v[..., i, :] for i in range(12)], batch
+
+
+def _unflat12(comps, batch):
+    return jnp.stack(comps, axis=-2).reshape(batch + (2, 3, 2, L))
+
 
 # ---------------------------------------------------------------------------
 # Fp2
@@ -262,6 +284,11 @@ def fp12_stack(a, b):
 
 
 def fp12_mul(x, y):
+    if _fused_on():
+        x, y = jnp.broadcast_arrays(x, y)
+        xs, batch = _flat12(x)
+        ys, _ = _flat12(y)
+        return _unflat12(FK.fused("fp12_mul", *xs, *ys), batch)
     a0, a1 = _h(x, 0), _h(x, 1)
     b0, b1 = _h(y, 0), _h(y, 1)
     t0, t1, m = fp6_mul_many(
@@ -275,6 +302,9 @@ def fp12_mul(x, y):
 def fp12_sqr(x):
     """Complex-squaring style: c0 = (a+b)(a+vb) - m - vm, c1 = 2m with
     m = a*b — 2 Fp6 muls."""
+    if _fused_on():
+        xs, batch = _flat12(x)
+        return _unflat12(FK.fused("fp12_sqr", *xs), batch)
     a, b = _h(x, 0), _h(x, 1)
     t, m = fp6_mul_many([(fp6_add(a, b), fp6_add(a, fp6_mul_by_v(b, 22))), (a, b)])
     c0 = fp6_sub(t, fp6_add(m, fp6_mul_by_v(m, 22)), 26)
@@ -294,6 +324,9 @@ def fp12_usqr(x):
     (A,B) -> (A^2 + xi B^2, 2AB) and the cyclotomic identity reassemble the
     full square from the 9 component squares.
     """
+    if _fused_on():
+        xs, batch = _flat12(x)
+        return _unflat12(FK.fused("fp12_usqr", *xs), batch)
     a, b = _h(x, 0), _h(x, 1)
     a0, a1, a2 = _c(a, 0), _c(a, 1), _c(a, 2)
     b0, b1, b2 = _c(b, 0), _c(b, 1), _c(b, 2)

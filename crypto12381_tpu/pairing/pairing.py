@@ -111,6 +111,14 @@ def _mul_sparse(f, line):
     are expanded coefficient-wise: 13 Fp2 muls total (vs 18 dense).
     """
     c0, c3, c5 = line
+    if TW._fused_on():
+        fs, batch = TW._flat12(f)
+        lcs = [
+            jnp.broadcast_to(c[..., j, :], batch + (TW.L,))
+            for c in (c0, c3, c5)
+            for j in (0, 1)
+        ]
+        return TW._unflat12(TW.FK.fused("fp12_sparse_mul", *fs, *lcs), batch)
     a, b = TW._h(f, 0), TW._h(f, 1)
     a0, a1, a2 = TW._c(a, 0), TW._c(a, 1), TW._c(a, 2)
     b0, b1, b2 = TW._c(b, 0), TW._c(b, 1), TW._c(b, 2)
