@@ -264,12 +264,11 @@ class G1Vec(_PointVec):
 
         return [G1Element(p) for p in _obj_flat(G1C.to_affine_ints(self.p))]
 
-    def msm(self, scalars: ZpVec, c: int = 8, lanes: int = 256) -> "G1Vec":
+    def msm(self, scalars: ZpVec, c: int = 12, lanes: int = 64) -> "G1Vec":
         """Π self[i]^scalars[i] over the leading axis -> batch-free G1Vec."""
         n = self.p[0].shape[0]
         lanes = min(lanes, 1 << max(0, (n - 1).bit_length() - 1)) or 1
-        pts, sc = MSM.pad_inputs(self.p, scalars.std, lanes, G1C.ops())
-        return G1Vec(MSM.msm(pts, sc, G1C.ops(), c=c, lanes=lanes))
+        return G1Vec(MSM.msm_g1(self.p, scalars.std, c=c, lanes=lanes))
 
 
 class G2Vec(_PointVec):
@@ -308,11 +307,10 @@ class G2Vec(_PointVec):
     def serialize(self) -> list[bytes]:
         return [codec.g2_serialize(p) for p in _obj_flat(G2C.to_affine_ints(self.p))]
 
-    def msm(self, scalars: ZpVec, c: int = 8, lanes: int = 256) -> "G2Vec":
+    def msm(self, scalars: ZpVec, c: int = 12, lanes: int = 64) -> "G2Vec":
         n = self.p[0].shape[0]
         lanes = min(lanes, 1 << max(0, (n - 1).bit_length() - 1)) or 1
-        pts, sc = MSM.pad_inputs(self.p, scalars.std, lanes, G2C.ops())
-        return G2Vec(MSM.msm(pts, sc, G2C.ops(), c=c, lanes=lanes))
+        return G2Vec(MSM.msm_g2(self.p, scalars.std, c=c, lanes=lanes))
 
 
 class GTVec:
@@ -416,12 +414,19 @@ def pair_vec(g1v: G1Vec, g2v: G2Vec) -> GTVec:
 
 
 def pair_prod(*pairs: tuple[G1Vec, G2Vec]) -> GTVec:
-    """Π e(Pᵢ, Qᵢ) over the argument list with ONE shared final
-    exponentiation — the batch double-ate (liner_pair.hpp:215-228).  All
-    pairs must share a batch shape; each element may be a different batch
-    of points."""
-    fs = [_masked_miller(a, b) for a, b in pairs]
-    acc = fs[0]
-    for f in fs[1:]:
-        acc = TW.fp12_mul(acc, f)
-    return GTVec(PAIR.final_exp(acc))
+    """Π e(Pᵢ, Qᵢ) over the argument list with ONE shared Miller squaring
+    chain and ONE final exponentiation — the full double-ate fusion
+    (liner_pair.hpp:215-228, PAIR_double_ate pair_BLS12381.cpp:508-626):
+    per Miller step the k pairs pay one fp12_sqr total, not one each.
+    All pairs must share a batch shape."""
+    p_aff = [a.affine() for a, _ in pairs]
+    q_aff = [b.affine() for _, b in pairs]
+    px = jnp.stack([p[0] for p in p_aff], 0)
+    py = jnp.stack([p[1] for p in p_aff], 0)
+    qx = jnp.stack([q[0] for q in q_aff], 0)
+    qy = jnp.stack([q[1] for q in q_aff], 0)
+    inf = jnp.stack(
+        [jnp.logical_or(p[2], q[2]) for p, q in zip(p_aff, q_aff)], 0
+    )
+    f = PAIR.multi_miller_shared((px, py), (qx, qy), inf=inf)
+    return GTVec(PAIR.final_exp(f))

@@ -38,6 +38,13 @@ def _fused_add(p, q):
     return tuple(FK.fused("g1_add", *arrs))
 
 
+def _fused_madd(p, q):
+    from ..fields import fp32k as FK
+
+    arrs = jnp.broadcast_arrays(*p, *q)
+    return tuple(FK.fused("g1_madd", *arrs))
+
+
 @functools.lru_cache(maxsize=1)
 def ops() -> W.FieldOps:
     # host-side Montgomery constant: lru-cached closures must never capture
@@ -57,6 +64,8 @@ def ops() -> W.FieldOps:
         b3_const=b3,
         elem_ndim=1,
         fused_add=_fused_add if FP.ENGINE == "fp32" else None,
+        fused_madd=_fused_madd if FP.ENGINE == "fp32" else None,
+        inv=lambda a: FP.inv(CTX, a),
     )
 
 

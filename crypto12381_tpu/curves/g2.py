@@ -42,6 +42,17 @@ def _fused_add(p, q):
     )
 
 
+def _fused_madd(p, q):
+    from ..fields import fp32k as FK
+
+    coords = jnp.broadcast_arrays(*p, *q)          # 5 x (..., 2, L)
+    comps = [c[..., j, :] for c in coords for j in (0, 1)]
+    outs = FK.fused("g2_madd", *comps)
+    return tuple(
+        jnp.stack([outs[2 * i], outs[2 * i + 1]], axis=-2) for i in range(3)
+    )
+
+
 @functools.lru_cache(maxsize=1)
 def ops() -> W.FieldOps:
     # host-side Montgomery constant (see g1.ops note on lru-cached tracers)
@@ -63,6 +74,8 @@ def ops() -> W.FieldOps:
         b3_const=b3,
         elem_ndim=2,
         fused_add=_fused_add if FP.ENGINE == "fp32" else None,
+        fused_madd=_fused_madd if FP.ENGINE == "fp32" else None,
+        inv=TW.fp2_inv,
     )
 
 

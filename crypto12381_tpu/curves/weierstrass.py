@@ -44,6 +44,9 @@ class FieldOps:
     fused_add: Any = None
     #: optional fused mixed add: (p, (X2, Y2)) with implicit Z2 = 1
     fused_madd: Any = None
+    #: batched single-element inversion (Fermat ladder); used once per
+    #: Montgomery batch-inversion block in msm.force_affine
+    inv: Any = None
 
 
 def identity(ops: FieldOps, batch=()):

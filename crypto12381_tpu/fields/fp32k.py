@@ -561,6 +561,92 @@ def _rcb_add_generic(p: _P, P1, P2, fp2: bool, b3_mont):
     )
 
 
+def _rcb_madd_generic(p: _P, P1, Q2, fp2: bool, b3):
+    """Mixed complete addition (Z2 = 1): weierstrass.madd transcribed —
+    13 field muls in three in-kernel product rounds."""
+    if fp2:
+        mk_add, mk_sub = _a2, _s2
+
+        def muls(pairs):
+            return [p.fp2_mul(a, b) for a, b in pairs]
+    else:
+        def mk_add(x, y):
+            return x + y
+
+        def mk_sub(x, y):
+            return x - y
+
+        def muls(pairs):
+            out = []
+            for a, b in pairs:
+                h = p.mb.mul(p.nrm(a), p.nrm(b))
+                out.append(lambda h=h: p.mb.get(h))
+            return out
+
+    X1, Y1, Z1 = P1
+    X2, Y2 = Q2
+    r1 = muls(
+        [
+            (X1, X2), (Y1, Y2),
+            (mk_add(X1, Y1), mk_add(X2, Y2)),
+            (X2, Z1), (Y2, Z1),
+        ]
+    )
+    p.run()
+    t0, t1, m3, zx, zy = [r() for r in r1]
+    t3 = mk_sub(m3, mk_add(t0, t1))
+    t4 = mk_add(zy, Y1)
+    t5 = mk_add(zx, X1)
+    w = mk_add(mk_add(t0, t0), t0)
+    p.mb = _MulBatch(p.k)
+    p._norms = {}
+    r2 = muls([(b3, Z1), (b3, t5)])
+    p.run()
+    bt2, bt5 = [r() for r in r2]
+    z3a = mk_add(t1, bt2)
+    t1m = mk_sub(t1, bt2)
+    p.mb = _MulBatch(p.k)
+    p._norms = {}
+    r3 = muls(
+        [(t3, t1m), (t4, bt5), (bt5, w), (t1m, z3a), (w, t3), (z3a, t4)]
+    )
+    p.run()
+    c = [r() for r in r3]
+    X3 = mk_sub(c[0], c[1])
+    Y3 = mk_add(c[3], c[2])
+    Z3 = mk_add(c[5], c[4])
+    if fp2:
+        return (p.tighten2(X3), p.tighten2(Y3), p.tighten2(Z3))
+    return (_tighten(p.k, X3), _tighten(p.k, Y3), _tighten(p.k, Z3))
+
+
+def prog_g1_madd(k: K, xs):
+    """Mixed RCB G1 addition: ins (X1,Y1,Z1,X2,Y2) -> (X3,Y3,Z3)."""
+    p = _P(k)
+    rows = xs[0].shape[0]
+    (b3,) = _b3_regs(False)
+    b3r = jnp.broadcast_to(jnp.asarray(b3), (rows, 128))
+    out = _rcb_madd_generic(
+        p, (xs[0], xs[1], xs[2]), (xs[3], xs[4]), False, b3r
+    )
+    return list(out)
+
+
+def prog_g2_madd(k: K, xs):
+    """Mixed RCB G2 addition over Fp2: 10 ins -> 6 outs."""
+    p = _P(k)
+    rows = xs[0].shape[0]
+    b3re, b3im = _b3_regs(True)
+    b3 = (
+        jnp.broadcast_to(jnp.asarray(b3re), (rows, 128)),
+        jnp.broadcast_to(jnp.asarray(b3im), (rows, 128)),
+    )
+    P1 = ((xs[0], xs[1]), (xs[2], xs[3]), (xs[4], xs[5]))
+    Q2 = ((xs[6], xs[7]), (xs[8], xs[9]))
+    out = _rcb_madd_generic(p, P1, Q2, True, b3)
+    return [r for c in out for r in c]
+
+
 @functools.lru_cache(maxsize=None)
 def _b3_regs(fp2: bool):
     """Normalized Montgomery digit rows of 3*b (b=4 on G1; b=4(1+i) on the
@@ -613,6 +699,8 @@ PROGRAMS = {
     "fp12_sparse_mul": (18, 12, prog_fp12_sparse_mul),
     "g1_add": (6, 3, prog_g1_add),
     "g2_add": (12, 6, prog_g2_add),
+    "g1_madd": (5, 3, prog_g1_madd),
+    "g2_madd": (10, 6, prog_g2_madd),
 }
 
 

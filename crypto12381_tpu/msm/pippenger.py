@@ -6,24 +6,29 @@ from a commented-out block): MSM is the large-N workhorse of every Σ/Π
 protocol loop, so here it is a tuned batched device kernel.
 
 Design (TPU-first):
-  * scalars decompose into K = ceil(255/c) unsigned c-bit windows; all
-    windows are processed simultaneously (they share point loads);
-  * G parallel lanes each own a private (K, 2^c) bucket grid; a lax.scan
-    walks n/G point blocks and each lane gather-adds its point into one
-    bucket per window (indices are unique per step by construction, so the
-    scatter is race-free);
-  * lanes reduce by a log2(G) tree of complete point adds; buckets collapse
-    with the classic suffix-sum (2*(2^c-1) vectorized adds); windows
-    combine Horner-style with c doublings per window;
-  * complete RCB formulas make every add exception-free (identity buckets,
-    repeated points, doubling collisions — no branches, bucket 0 is simply
-    dropped by the weight-0 collapse).
+  * scalars decompose into K signed c-bit window digits (the offset trick:
+    digits of e + Σ 2^(ci+c-1), each minus 2^(c-1), lie in
+    [-2^(c-1), 2^(c-1)] — branchless, and HALVES the bucket count vs the
+    reference's unsigned 4-bit windows, so c can be ~3x larger for the
+    same memory: bucket-phase adds drop from n*ceil(255/4) to
+    n*ceil(256/c));
+  * points are forced to affine (Z=1) up front by a two-level Montgomery
+    batch inversion (identity inputs become the generator with scalar 0),
+    so every bucket accumulation is the 13M *mixed* complete add
+    (weierstrass.madd — one fused Pallas kernel per scan step) instead of
+    the 14M projective add;
+  * G parallel lanes each own a private (K, 2^(c-1)+1) bucket grid; a
+    lax.scan walks n/G point blocks and each lane gather-adds its
+    (per-window sign-corrected) point into one bucket per window — indices
+    are unique per step by construction, so the scatter is race-free;
+  * lanes reduce by a log2(G) tree of complete adds; buckets collapse with
+    the classic suffix-sum; windows combine Horner-style with c doublings
+    per window;
+  * complete RCB formulas keep every step exception-free (identity
+    buckets, repeated points, doubling collisions — no branches).
 
-Total point-add count: n*K (bucket phase, the textbook Pippenger cost) +
-G*K*2^c/… for reductions — wall-clock is the n/G-step scan with G*K lane
-parallelism.  Multi-device sharding (points split across a mesh,
-per-device partial MSMs combined with a log-tree of adds) lives in
-parallel/sharding.py.
+Multi-device sharding (points split across a mesh, per-device partial MSMs
+combined with a log-tree of adds) lives in parallel/sharding.py.
 """
 
 from __future__ import annotations
@@ -35,14 +40,16 @@ import numpy as np
 from ..curves import g1 as G1
 from ..curves import g2 as G2
 from ..curves import weierstrass as W
+from ..fields.fp import LIMB_BITS, LIMB_MASK, carry_fix
 
 N_BITS = 255
 
 
-def window_digits(e_std: jnp.ndarray, c: int) -> jnp.ndarray:
+def window_digits(e_std: jnp.ndarray, c: int, K: int | None = None) -> jnp.ndarray:
     """(..., L) std-domain Fr limbs -> (..., K) c-bit window digits
     (unsigned).  Each digit straddles at most two 16-bit limbs."""
-    K = -(-N_BITS // c)
+    if K is None:
+        K = -(-N_BITS // c)
     e = e_std.astype(jnp.uint32)
     k = np.arange(K)
     bit0 = k * c
@@ -62,6 +69,23 @@ def window_digits(e_std: jnp.ndarray, c: int) -> jnp.ndarray:
     return dig.astype(jnp.int32)
 
 
+def signed_window_digits(e_std: jnp.ndarray, c: int) -> jnp.ndarray:
+    """(..., L) Fr std limbs -> (..., K) SIGNED digits in
+    [-2^(c-1), 2^(c-1)], K = ceil(256/c), with e = Σ d_i 2^(ci).
+
+    Branchless offset trick: f = e + Σ_i 2^(ci+c-1); the unsigned c-bit
+    digits of f minus 2^(c-1) are the signed digits (no sequential borrow
+    chain — jit/batch friendly, unlike the reference's per-bit recoding)."""
+    K = -(-256 // c)
+    off = sum(1 << (c * i + c - 1) for i in range(K))
+    L = e_std.shape[-1]
+    off_limbs = np.array(
+        [(off >> (LIMB_BITS * i)) & LIMB_MASK for i in range(L)], np.int32
+    )
+    f, _ = carry_fix(e_std + off_limbs)
+    return window_digits(f, c, K) - (1 << (c - 1))
+
+
 def _unstack(A, e_ndim: int):
     ax = A.ndim - 1 - e_ndim
     return tuple(jnp.take(A, i, axis=ax) for i in range(3))
@@ -71,37 +95,89 @@ def _stack(p, e_ndim: int):
     return jnp.stack(p, axis=p[0].ndim - e_ndim)
 
 
-def pad_inputs(points, scalars_std, lanes: int, ops: W.FieldOps):
-    """Pad n to a multiple of lanes with identity points / zero scalars."""
+def force_affine(ops: W.FieldOps, points, scalars_std, gen_affine):
+    """Projective batch -> (x, y) affine batch + adjusted scalars.
+
+    Two-level Montgomery batch inversion of the Z column (one real field
+    inversion per 1024-block, itself batched): identity points (Z = 0)
+    become `gen_affine` with scalar 0, so downstream mixed adds never see
+    a Z != 1 operand (SURVEY hard-part #5: inversion at batch).
+    """
+    X, Y, Z = points
+    n = scalars_std.shape[0]
+    is_id = ops.is_zero(Z)
+    safe = ops.select(is_id, ops.one((n,)), Z)
+    B = min(1024, n)
+    pad = (-n) % B
+    if pad:
+        safe = jnp.concatenate([safe, ops.one((pad,))], 0)
+    m = safe.shape[0] // B
+    zb = jnp.moveaxis(safe.reshape((m, B) + safe.shape[1:]), 1, 0)  # (B, m, ..)
+
+    def fwd(carry, z):
+        return ops.mul_many([(carry, z)])[0], carry
+
+    total, prefix = jax.lax.scan(fwd, ops.one((m,)), zb)
+    tinv = ops.inv(total)
+
+    def bwd(carry, args):
+        z, pre = args
+        out = ops.mul_many([(carry, pre)])[0]
+        nxt = ops.mul_many([(carry, z)])[0]
+        return nxt, out
+
+    _, zinv = jax.lax.scan(bwd, tinv, (zb, prefix), reverse=True)
+    zinv = jnp.moveaxis(zinv, 0, 1).reshape(safe.shape)[:n]
+    x, y = ops.mul_many([(X, zinv), (Y, zinv)])
+    gx, gy = gen_affine
+    x = ops.select(is_id, jnp.broadcast_to(gx, x.shape), x)
+    y = ops.select(is_id, jnp.broadcast_to(gy, y.shape), y)
+    scalars_std = jnp.where(is_id[:, None], 0, scalars_std)
+    return x, y, scalars_std
+
+
+def pad_affine(ops: W.FieldOps, xy, scalars_std, lanes: int, gen_affine):
+    """Pad n to a multiple of lanes with generator points / zero scalars
+    (any valid affine point works at scalar 0; identity has no Z=1 form)."""
+    x, y = xy
     n = scalars_std.shape[0]
     pad = (-n) % lanes
     if pad == 0:
-        return points, scalars_std
-    idp = W.identity(ops, (pad,))
-    points = tuple(jnp.concatenate([p, i], 0) for p, i in zip(points, idp))
+        return xy, scalars_std
+    gx, gy = gen_affine
+    shape1 = (pad,) + x.shape[1:]
+    x = jnp.concatenate([x, jnp.broadcast_to(gx, shape1)], 0)
+    y = jnp.concatenate([y, jnp.broadcast_to(gy, shape1)], 0)
     scalars_std = jnp.concatenate(
         [scalars_std, jnp.zeros((pad, scalars_std.shape[1]), scalars_std.dtype)], 0
     )
-    return points, scalars_std
+    return (x, y), scalars_std
 
 
-def msm(points, scalars_std, ops: W.FieldOps, c: int = 6, lanes: int = 256):
+def msm(points, scalars_std, ops: W.FieldOps, c: int = 12, lanes: int = 64,
+        gen_affine=None):
     """sum_i scalars[i] * points[i].
 
     points: projective (X, Y, Z) tuple of (n, *elem) field arrays;
-    scalars_std: (n, L) standard-domain Fr limbs; n % lanes == 0 (use
-    pad_inputs).  lanes must be a power of two.  Returns one projective
-    point.
+    scalars_std: (n, L) standard-domain Fr limbs.  lanes must be a power
+    of two.  gen_affine: (x, y) of any fixed non-identity affine point
+    (the curve generator), used for identity replacement and padding.
+    Returns one projective point.
     """
     e_ndim = ops.elem_ndim
+    assert (lanes & (lanes - 1)) == 0
+    K = -(-256 // c)
+    nbuck = (1 << (c - 1)) + 1
+
+    x, y, scalars_std = force_affine(ops, points, scalars_std, gen_affine)
+    (x, y), scalars_std = pad_affine(
+        ops, (x, y), scalars_std, lanes, gen_affine
+    )
     n = scalars_std.shape[0]
-    K = -(-N_BITS // c)
-    nbuck = 1 << c
-    assert n % lanes == 0 and (lanes & (lanes - 1)) == 0
     steps = n // lanes
 
-    digits = window_digits(scalars_std, c).reshape(steps, lanes, K)
-    P = _stack(points, e_ndim)                        # (n, 3, *elem)
+    digits = signed_window_digits(scalars_std, c).reshape(steps, lanes, K)
+    P = jnp.stack([x, y], axis=1)                     # (n, 2, *e)
     P = P.reshape((steps, lanes) + P.shape[1:])
 
     zero = ops.zero((lanes, K, nbuck))
@@ -112,12 +188,17 @@ def msm(points, scalars_std, ops: W.FieldOps, c: int = 6, lanes: int = 256):
     win_idx = jnp.arange(K)[None, :]
 
     def step(buckets, args):
-        pts, ds = args                                # (lanes,3,*e), (lanes,K)
-        cur = buckets[lane_idx, win_idx, ds]          # (lanes,K,3,*e)
+        pts, ds = args                                # (lanes,2,*e), (lanes,K)
+        idx = jnp.abs(ds)
+        cur = buckets[lane_idx, win_idx, idx]         # (lanes,K,3,*e)
         cur_t = _unstack(cur, e_ndim)
-        p_t = tuple(x[:, None] for x in _unstack(pts, e_ndim))
-        new = W.add(ops, cur_t, p_t)
-        buckets = buckets.at[lane_idx, win_idx, ds].set(_stack(new, e_ndim))
+        px = jnp.take(pts, 0, axis=1)[:, None]        # (lanes,1,*e)
+        py = jnp.take(pts, 1, axis=1)[:, None]
+        neg = (ds < 0)
+        py_s = ops.select(neg, ops.neg(py), py)       # (lanes,K,*e)
+        px_b = jnp.broadcast_to(px, py_s.shape)
+        new = W.madd(ops, cur_t, (px_b, py_s))
+        buckets = buckets.at[lane_idx, win_idx, idx].set(_stack(new, e_ndim))
         return buckets, None
 
     buckets, _ = jax.lax.scan(step, buckets, (P, digits))
@@ -160,9 +241,19 @@ def msm(points, scalars_std, ops: W.FieldOps, c: int = 6, lanes: int = 256):
     return acc
 
 
-def msm_g1(points, scalars_std, c: int = 6, lanes: int = 256):
-    return msm(points, scalars_std, G1.ops(), c, lanes)
+def _gen_affine_g1():
+    g = G1.generator(())
+    return (g[0], g[1])
 
 
-def msm_g2(points, scalars_std, c: int = 6, lanes: int = 256):
-    return msm(points, scalars_std, G2.ops(), c, lanes)
+def _gen_affine_g2():
+    g = G2.generator(())
+    return (g[0], g[1])
+
+
+def msm_g1(points, scalars_std, c: int = 12, lanes: int = 64):
+    return msm(points, scalars_std, G1.ops(), c, lanes, _gen_affine_g1())
+
+
+def msm_g2(points, scalars_std, c: int = 12, lanes: int = 64):
+    return msm(points, scalars_std, G2.ops(), c, lanes, _gen_affine_g2())

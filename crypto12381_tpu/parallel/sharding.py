@@ -56,18 +56,20 @@ def _tree_reduce_points(ops, stacked, e_ndim):
 
 
 def sharded_msm(mesh: Mesh, points, scalars_std, ops=None, c: int = 6,
-                lanes: int = 256):
+                lanes: int = 256, gen_affine=None):
     """MSM with points/scalars sharded over the mesh's AXIS.
 
     points: projective (X, Y, Z) of (n, *elem); n divisible by
     (#devices * lanes).  Returns a replicated projective point tuple.
     """
     ops = ops or G1.ops()
+    gen_affine = gen_affine or MSM._gen_affine_g1()
     e_ndim = ops.elem_ndim
     pspec = PS(AXIS)
 
     def local(X, Y, Z, s):
-        part = MSM.msm((X, Y, Z), s, ops, c=c, lanes=lanes)
+        part = MSM.msm((X, Y, Z), s, ops, c=c, lanes=lanes,
+                       gen_affine=gen_affine)
         stacked = MSM._stack(part, e_ndim)            # (3, *elem)
         allp = jax.lax.all_gather(stacked, AXIS)      # (D, 3, *elem)
         return MSM._stack(_tree_reduce_points(ops, allp, e_ndim), e_ndim)

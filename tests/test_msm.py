@@ -25,6 +25,17 @@ def test_window_digits():
         assert d.tolist() == expect, f"c={c}"
 
 
+def test_signed_window_digits():
+    for c in (4, 8, 12, 13):
+        K = -(-256 // c)
+        for e in (0, 1, rng.randrange(R), R - 1):
+            arr = FPI.from_int(FPI.FR_CTX, [e], mont=False)
+            d = np.asarray(MSM.signed_window_digits(arr, c))[0].tolist()
+            assert len(d) == K
+            assert all(-(1 << (c - 1)) <= x <= (1 << (c - 1)) for x in d)
+            assert sum(x << (c * i) for i, x in enumerate(d)) == e, (c, e)
+
+
 def test_msm_g1_small():
     n = 16
     ks = [rng.randrange(R) for _ in range(n)]
@@ -33,7 +44,7 @@ def test_msm_g1_small():
     P = G1.from_affine_ints([p[0] for p in pts_ref], [p[1] for p in pts_ref])
     s = FPI.from_int(FPI.FR_CTX, scalars, mont=False)
     res = jax.jit(
-        lambda P, s: MSM.msm(P, s, G1.ops(), c=4, lanes=8)
+        lambda P, s: MSM.msm_g1(P, s, c=4, lanes=8)
     )(P, s)
     got = G1.to_affine_ints(res)
     expect = None
@@ -42,18 +53,28 @@ def test_msm_g1_small():
     assert got == expect
 
 
-def test_msm_with_padding_and_zero_scalars():
+def test_msm_with_padding_zero_scalars_and_identity_points():
+    """n not a lane multiple (internal generator padding), a zero scalar,
+    and an identity input point (replaced by generator at scalar 0)."""
     n = 5
     ks = [rng.randrange(R) for _ in range(n)]
     scalars = [rng.randrange(R) for _ in range(n - 1)] + [0]
     pts_ref = [C.g1_mul(C.G1_GEN, k) for k in ks]
     P = G1.from_affine_ints([p[0] for p in pts_ref], [p[1] for p in pts_ref])
-    s = FPI.from_int(FPI.FR_CTX, scalars, mont=False)
-    P, s = MSM.pad_inputs(P, s, 8, G1.ops())
-    res = jax.jit(lambda P, s: MSM.msm(P, s, G1.ops(), c=5, lanes=8))(P, s)
+    # overwrite point 1 with the identity (Z = 0)
+    import jax.numpy as jnp
+
+    X, Y, Z = P
+    zmask = jnp.asarray([1.0, 0.0, 1.0, 1.0, 1.0])[:, None]
+    P = (X, Y, Z * zmask)
+    res = jax.jit(lambda P, s: MSM.msm_g1(P, s, c=5, lanes=8))(
+        P, FPI.from_int(FPI.FR_CTX, scalars, mont=False)
+    )
     got = G1.to_affine_ints(res)
     expect = None
-    for p, k in zip(pts_ref, scalars):
+    for i, (p, k) in enumerate(zip(pts_ref, scalars)):
+        if i == 1:
+            continue
         expect = C.g1_add(expect, C.g1_mul(p, k))
     assert got == expect
 
@@ -67,7 +88,7 @@ def test_msm_g1_large_same_base():
     scalars = [int.from_bytes(nprng.bytes(31), "big") % R for _ in range(n)]
     base = G1.generator((n,))
     s = FPI.from_int(FPI.FR_CTX, scalars, mont=False)
-    res = jax.jit(lambda P, s: MSM.msm(P, s, G1.ops(), c=8, lanes=64))(base, s)
+    res = jax.jit(lambda P, s: MSM.msm_g1(P, s, c=8, lanes=64))(base, s)
     got = G1.to_affine_ints(res)
     expect = C.g1_mul(C.G1_GEN, sum(scalars) % R)
     assert got == expect
