@@ -132,10 +132,24 @@ def _shamir(ops: W.FieldOps, bases, digit_limbs, n_bits: int):
         ent = tuple(
             jnp.take(entry, c, axis=entry.ndim - 1 - e_ndim) for c in range(3)
         )
-        return W.add(ops, acc, ent), None
+        return W.add(ops, acc, ent)
+
+    # scan in unrolled groups (this backend's large per-iteration cost)
+    U = 4
+    ng = n_bits // U
+
+    def group(acc, idx_u):
+        for j in range(U):
+            acc = step(acc, idx_u[j])
+        return acc, None
 
     batch = digit_limbs.shape[:-2]
-    acc, _ = jax.lax.scan(step, W.identity(ops, batch), idxs)
+    acc = W.identity(ops, batch)
+    if ng:
+        main = idxs[: ng * U].reshape((ng, U) + idxs.shape[1:])
+        acc, _ = jax.lax.scan(group, acc, main)
+    for i in range(ng * U, n_bits):
+        acc = step(acc, idxs[i])
     return acc
 
 

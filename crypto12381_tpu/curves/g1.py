@@ -45,6 +45,13 @@ def _fused_madd(p, q):
     return tuple(FK.fused("g1_madd", *arrs))
 
 
+def _fused_dbl(p):
+    from ..fields import fp32k as FK
+
+    arrs = jnp.broadcast_arrays(*p)
+    return tuple(FK.fused("g1_dbl", *arrs))
+
+
 @functools.lru_cache(maxsize=1)
 def ops() -> W.FieldOps:
     # host-side Montgomery constant: lru-cached closures must never capture
@@ -65,6 +72,7 @@ def ops() -> W.FieldOps:
         elem_ndim=1,
         fused_add=_fused_add if FP.ENGINE == "fp32" else None,
         fused_madd=_fused_madd if FP.ENGINE == "fp32" else None,
+        fused_dbl=_fused_dbl if FP.ENGINE == "fp32" else None,
         inv=lambda a: FP.inv(CTX, a),
     )
 

@@ -30,27 +30,46 @@ def _select(mask, a, b):
     return jnp.where(mask[..., None, None], a, b)
 
 
+def _c2(x):
+    return [x[..., 0, :], x[..., 1, :]]
+
+
+def _fused_point_op(fn, coords, n_pt1):
+    """Run a fused composite G2 point op over broadcast coords."""
+    coords = jnp.broadcast_arrays(*coords)
+    scalar = coords[0].ndim == 2
+    if scalar:
+        coords = [c[None] for c in coords]
+    p1 = tuple(_c2(c) for c in coords[:n_pt1])
+    p2 = tuple(_c2(c) for c in coords[n_pt1:])
+    out = fn(p1, p2)
+    res = tuple(jnp.stack(u, axis=-2) for u in out)
+    return tuple(r[0] for r in res) if scalar else res
+
+
 def _fused_add(p, q):
-    """Whole RCB Fp2 addition as one Pallas kernel (fields/fp32k)."""
+    """Whole RCB Fp2 addition via stacked fp2_mul kernels (fields/fp32k)."""
     from ..fields import fp32k as FK
 
-    coords = jnp.broadcast_arrays(*p, *q)          # 6 x (..., 2, L)
-    comps = [c[..., j, :] for c in coords for j in (0, 1)]
-    outs = FK.fused("g2_add", *comps)
-    return tuple(
-        jnp.stack([outs[2 * i], outs[2 * i + 1]], axis=-2) for i in range(3)
-    )
+    return _fused_point_op(FK.g2_add_c, list(p) + list(q), 3)
 
 
 def _fused_madd(p, q):
     from ..fields import fp32k as FK
 
-    coords = jnp.broadcast_arrays(*p, *q)          # 5 x (..., 2, L)
-    comps = [c[..., j, :] for c in coords for j in (0, 1)]
-    outs = FK.fused("g2_madd", *comps)
-    return tuple(
-        jnp.stack([outs[2 * i], outs[2 * i + 1]], axis=-2) for i in range(3)
-    )
+    return _fused_point_op(FK.g2_madd_c, list(p) + list(q), 3)
+
+
+def _fused_dbl(p):
+    from ..fields import fp32k as FK
+
+    coords = jnp.broadcast_arrays(*p)
+    scalar = coords[0].ndim == 2
+    if scalar:
+        coords = [c[None] for c in coords]
+    out = FK.g2_dbl_c(tuple(_c2(c) for c in coords))
+    res = tuple(jnp.stack(u, axis=-2) for u in out)
+    return tuple(r[0] for r in res) if scalar else res
 
 
 @functools.lru_cache(maxsize=1)
@@ -75,6 +94,7 @@ def ops() -> W.FieldOps:
         elem_ndim=2,
         fused_add=_fused_add if FP.ENGINE == "fp32" else None,
         fused_madd=_fused_madd if FP.ENGINE == "fp32" else None,
+        fused_dbl=_fused_dbl if FP.ENGINE == "fp32" else None,
         inv=TW.fp2_inv,
     )
 

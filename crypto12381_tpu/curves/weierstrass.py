@@ -44,6 +44,8 @@ class FieldOps:
     fused_add: Any = None
     #: optional fused mixed add: (p, (X2, Y2)) with implicit Z2 = 1
     fused_madd: Any = None
+    #: optional fused dedicated doubling
+    fused_dbl: Any = None
     #: batched single-element inversion (Fermat ladder); used once per
     #: Montgomery batch-inversion block in msm.force_affine
     inv: Any = None
@@ -102,9 +104,31 @@ def add(ops: FieldOps, p, q):
 
 
 def double(ops: FieldOps, p):
-    """Complete doubling = add(p, p) (dedicated 8M formula is a later
-    optimization; completeness keeps it branchless)."""
-    return add(ops, p, p)
+    """Dedicated exception-free doubling (RCB15 Alg. 9, j-inv 0): 8 field
+    muls + one b3 multiply instead of add(p, p)'s 14 — still complete
+    (identity doubles to identity; no branches).
+
+    X3 = 2XY(Y^2-9bZ^2); Y3 = (Y^2-9bZ^2)(Y^2+3bZ^2) + 24bY^2Z^2;
+    Z3 = 8Y^3Z."""
+    if ops.fused_dbl is not None:
+        from ..fields import fp32k as FK
+
+        if FK.enabled():
+            return ops.fused_dbl(p)
+    X, Y, Z = p
+    b3 = ops.b3_const
+    t0, t1, xy, z2 = ops.mul_many([(Y, Y), (Y, Z), (X, Y), (Z, Z)])
+    (t2,) = ops.mul_many([(b3, z2)])
+    z3_8y2 = ops.add(ops.add(ops.add(t0, t0), ops.add(t0, t0)),
+                     ops.add(ops.add(t0, t0), ops.add(t0, t0)))  # 8 Y^2
+    y3a = ops.add(t0, t2)                       # Y^2 + 3bZ^2
+    t0m = ops.sub(t0, ops.add(ops.add(t2, t2), t2))  # Y^2 - 9bZ^2
+    x3a, z3, y3b, x3b = ops.mul_many(
+        [(t2, z3_8y2), (t1, z3_8y2), (t0m, y3a), (t0m, xy)]
+    )
+    Y3 = ops.add(y3b, x3a)
+    X3 = ops.add(x3b, x3b)
+    return (ops.tighten(X3), ops.tighten(Y3), ops.tighten(z3))
 
 
 def madd(ops: FieldOps, p, q):

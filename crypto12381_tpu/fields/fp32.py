@@ -632,12 +632,28 @@ def pow_fixed(ctx: FieldCtx8, x: jnp.ndarray, e: int) -> jnp.ndarray:
     xn = normalize(ctx, x)
     bits = np.array([int(b) for b in bin(e)[2:]], np.int32)
 
-    def body(acc, bit):
+    def step(acc, bit):
         acc = mont_sqr(ctx, acc)
         acc_m = mont_mul(ctx, acc, xn)
-        return jnp.where(bit != 0, acc_m, acc), None
+        return jnp.where(bit != 0, acc_m, acc)
 
-    acc, _ = jax.lax.scan(body, xn, jnp.asarray(bits[1:]))
+    # unrolled scan groups: the backend pays a large fixed cost per scan
+    # iteration, so each iteration handles U exponent bits
+    U = 4
+    tail = bits[1:]
+    ng = len(tail) // U
+    acc = xn
+    if ng:
+        def group(a, b4):
+            for j in range(U):
+                a = step(a, b4[j])
+            return a, None
+
+        acc, _ = jax.lax.scan(
+            group, acc, jnp.asarray(tail[: ng * U].reshape(ng, U))
+        )
+    for b in tail[ng * U :]:
+        acc = step(acc, jnp.int32(int(b)))
     return acc
 
 

@@ -75,15 +75,16 @@ def tile_for(name: str) -> int:
 class K:
     """Per-call constants, as (.., 128)-lane arrays (kernel refs or jnp)."""
 
-    __slots__ = ("toep_n", "toep_p", "off", "carry_w", "fold", "maskL")
+    __slots__ = ("toep_n", "toep_p", "off", "carry_w", "fold", "maskL", "aux")
 
-    def __init__(self, toep_n, toep_p, off, carry_w, fold, maskL):
+    def __init__(self, toep_n, toep_p, off, carry_w, fold, maskL, aux=None):
         self.toep_n = toep_n      # (LP, LP)
         self.toep_p = toep_p      # (LP, 128)
         self.off = off            # (1, 128): C_OFF digits (zeros above L)
         self.carry_w = carry_w    # (1, 128)
         self.fold = fold          # (L - fold_i0, 128) tighten fold rows
         self.maskL = maskL        # (1, 128) float: lane < L
+        self.aux = aux            # (2, 128) per-program constant (e.g. b3)
 
 
 @functools.lru_cache(maxsize=None)
@@ -171,9 +172,10 @@ class _MulBatch:
         return sc
 
     def mul(self, a, b):
-        """Queue REDC(a*b); returns an index handle resolved after run()."""
+        """Queue REDC(a*b); returns an index handle resolved after run().
+        Either operand may have 1 row (a broadcast constant like 3b)."""
         sh = self._shifts(a)
-        rows = a.shape[0]
+        rows = max(a.shape[0], b.shape[0])
         cols = jnp.zeros((rows, 128), jnp.float32)
         for j0 in range(0, L, _G):
             tacc = sh[0] * b[:, j0 : j0 + 1]
@@ -623,9 +625,7 @@ def _rcb_madd_generic(p: _P, P1, Q2, fp2: bool, b3):
 def prog_g1_madd(k: K, xs):
     """Mixed RCB G1 addition: ins (X1,Y1,Z1,X2,Y2) -> (X3,Y3,Z3)."""
     p = _P(k)
-    rows = xs[0].shape[0]
-    (b3,) = _b3_regs(False)
-    b3r = jnp.broadcast_to(jnp.asarray(b3), (rows, 128))
+    b3r = k.aux[0:1]
     out = _rcb_madd_generic(
         p, (xs[0], xs[1], xs[2]), (xs[3], xs[4]), False, b3r
     )
@@ -635,15 +635,75 @@ def prog_g1_madd(k: K, xs):
 def prog_g2_madd(k: K, xs):
     """Mixed RCB G2 addition over Fp2: 10 ins -> 6 outs."""
     p = _P(k)
-    rows = xs[0].shape[0]
-    b3re, b3im = _b3_regs(True)
-    b3 = (
-        jnp.broadcast_to(jnp.asarray(b3re), (rows, 128)),
-        jnp.broadcast_to(jnp.asarray(b3im), (rows, 128)),
-    )
+    b3 = (k.aux[0:1], k.aux[1:2])
     P1 = ((xs[0], xs[1]), (xs[2], xs[3]), (xs[4], xs[5]))
     Q2 = ((xs[6], xs[7]), (xs[8], xs[9]))
     out = _rcb_madd_generic(p, P1, Q2, True, b3)
+    return [r for c in out for r in c]
+
+
+def _rcb_dbl_generic(p: _P, P1, fp2: bool, b3):
+    """Dedicated exception-free doubling (RCB15 Alg. 9, weierstrass.double
+    transcription): 9 products in three in-kernel rounds."""
+    if fp2:
+        mk_add, mk_sub = _a2, _s2
+
+        def muls(pairs):
+            return [p.fp2_mul(a, b) for a, b in pairs]
+    else:
+        def mk_add(x, y):
+            return x + y
+
+        def mk_sub(x, y):
+            return x - y
+
+        def muls(pairs):
+            out = []
+            for a, b in pairs:
+                h = p.mb.mul(p.nrm(a), p.nrm(b))
+                out.append(lambda h=h: p.mb.get(h))
+            return out
+
+    X, Y, Z = P1
+    r1 = muls([(Y, Y), (Y, Z), (X, Y), (Z, Z)])
+    p.run()
+    t0, t1, xy, z2 = [r() for r in r1]
+    p.mb = _MulBatch(p.k)
+    p._norms = {}
+    r2 = muls([(b3, z2)])
+    p.run()
+    (t2,) = [r() for r in r2]
+    t0_2 = mk_add(t0, t0)
+    t0_4 = mk_add(t0_2, t0_2)
+    z3_8y2 = mk_add(t0_4, t0_4)
+    y3a = mk_add(t0, t2)
+    t0m = mk_sub(t0, mk_add(mk_add(t2, t2), t2))
+    p.mb = _MulBatch(p.k)
+    p._norms = {}
+    r3 = muls([(t2, z3_8y2), (t1, z3_8y2), (t0m, y3a), (t0m, xy)])
+    p.run()
+    x3a, z3, y3b, x3b = [r() for r in r3]
+    Y3 = mk_add(y3b, x3a)
+    X3 = mk_add(x3b, x3b)
+    if fp2:
+        return (p.tighten2(X3), p.tighten2(Y3), p.tighten2(z3))
+    return (_tighten(p.k, X3), _tighten(p.k, Y3), _tighten(p.k, z3))
+
+
+def prog_g1_dbl(k: K, xs):
+    """Dedicated RCB G1 doubling: ins (X,Y,Z) -> (X3,Y3,Z3)."""
+    p = _P(k)
+    out = _rcb_dbl_generic(p, (xs[0], xs[1], xs[2]), False, k.aux[0:1])
+    return list(out)
+
+
+def prog_g2_dbl(k: K, xs):
+    """Dedicated RCB G2 doubling over Fp2: 6 ins -> 6 outs."""
+    p = _P(k)
+    b3 = (k.aux[0:1], k.aux[1:2])
+    out = _rcb_dbl_generic(
+        p, ((xs[0], xs[1]), (xs[2], xs[3]), (xs[4], xs[5])), True, b3
+    )
     return [r for c in out for r in c]
 
 
@@ -664,11 +724,11 @@ def _b3_regs(fp2: bool):
 
 
 def prog_g1_add(k: K, xs):
-    """Complete RCB G1 addition: ins (X1,Y1,Z1,X2,Y2,Z2) -> (X3,Y3,Z3)."""
+    """Complete RCB G1 addition: ins (X1,Y1,Z1,X2,Y2,Z2) -> (X3,Y3,Z3).
+    3b comes in through k.aux row 0 (a captured constant would trip
+    pallas's closed-over-constant check)."""
     p = _P(k)
-    rows = xs[0].shape[0]
-    (b3,) = _b3_regs(False)
-    b3r = jnp.broadcast_to(jnp.asarray(b3), (rows, 128))
+    b3r = k.aux[0:1]      # (1, 128): broadcasts through the product loop
     out = _rcb_add_generic(
         p, (xs[0], xs[1], xs[2]), (xs[3], xs[4], xs[5]), False, b3r
     )
@@ -678,30 +738,44 @@ def prog_g1_add(k: K, xs):
 def prog_g2_add(k: K, xs):
     """Complete RCB G2 addition over Fp2: 12 ins -> 6 outs."""
     p = _P(k)
-    rows = xs[0].shape[0]
-    b3re, b3im = _b3_regs(True)
-    b3 = (
-        jnp.broadcast_to(jnp.asarray(b3re), (rows, 128)),
-        jnp.broadcast_to(jnp.asarray(b3im), (rows, 128)),
-    )
+    b3 = (k.aux[0:1], k.aux[1:2])
     P1 = ((xs[0], xs[1]), (xs[2], xs[3]), (xs[4], xs[5]))
     P2 = ((xs[6], xs[7]), (xs[8], xs[9]), (xs[10], xs[11]))
     out = _rcb_add_generic(p, P1, P2, True, b3)
     return [r for c in out for r in c]
 
 
+def prog_fp2_sqr(k: K, xs):
+    p = _P(k)
+    r = p.fp2_sqr((xs[0], xs[1]))
+    p.run()
+    re, im = r()
+    return [re, im]
+
+
+#: name -> (n_in, n_out, program).  Entries marked [xla-only] have program
+#: bodies too large for a single Mosaic compile (the monolithic fp12_mul
+#: kernel sat in the remote compiler >18 min on the v5e) — they remain for
+#: CPU differential testing, while the TPU path uses the row-stacked
+#: composites below (fp12_mul_c etc.), which reuse the small kernels.
 PROGRAMS = {
     "fp2_mul": (4, 2, prog_fp2_mul),
+    "fp2_sqr": (2, 2, prog_fp2_sqr),
     "fp6_mul": (12, 6, prog_fp6_mul),
-    "fp12_mul": (24, 12, prog_fp12_mul),
-    "fp12_sqr": (12, 12, prog_fp12_sqr),
-    "fp12_usqr": (12, 12, prog_fp12_usqr),
-    "fp12_sparse_mul": (18, 12, prog_fp12_sparse_mul),
+    "fp12_mul": (24, 12, prog_fp12_mul),            # [xla-only]
+    "fp12_sqr": (12, 12, prog_fp12_sqr),            # [xla-only]
+    "fp12_usqr": (12, 12, prog_fp12_usqr),          # [xla-only]
+    "fp12_sparse_mul": (18, 12, prog_fp12_sparse_mul),  # [xla-only]
     "g1_add": (6, 3, prog_g1_add),
-    "g2_add": (12, 6, prog_g2_add),
+    "g2_add": (12, 6, prog_g2_add),                 # [xla-only]
     "g1_madd": (5, 3, prog_g1_madd),
-    "g2_madd": (10, 6, prog_g2_madd),
+    "g2_madd": (10, 6, prog_g2_madd),               # [xla-only]
+    "g1_dbl": (3, 3, prog_g1_dbl),
+    "g2_dbl": (6, 6, prog_g2_dbl),                  # [xla-only]
 }
+
+#: programs small enough to compile as single Pallas kernels on TPU
+KERNEL_OPS = {"fp2_mul", "fp2_sqr", "fp6_mul", "g1_add", "g1_madd", "g1_dbl"}
 
 
 # ---------------------------------------------------------------------------
@@ -716,6 +790,17 @@ def _pad128(x):
     )
 
 
+def _aux_for(name: str) -> np.ndarray:
+    """(2, 128) per-program constant rows (3b for the curve adds)."""
+    aux = np.zeros((2, 128), np.float32)
+    if name in ("g1_add", "g1_madd", "g1_dbl"):
+        aux[0] = _b3_regs(False)[0][0]
+    elif name in ("g2_add", "g2_madd", "g2_dbl"):
+        aux[0] = _b3_regs(True)[0][0]
+        aux[1] = _b3_regs(True)[1][0]
+    return aux
+
+
 @functools.lru_cache(maxsize=None)
 def _fused_pallas(name: str):
     from jax.experimental import pallas as pl
@@ -726,12 +811,12 @@ def _fused_pallas(name: str):
 
     def kernel(*refs):
         in_refs = refs[:n_in]
-        tn, tp, off, cw, fold = refs[n_in : n_in + 5]
-        out_refs = refs[n_in + 5 :]
+        tn, tp, off, cw, fold, aux = refs[n_in : n_in + 6]
+        out_refs = refs[n_in + 6 :]
         maskL = (
             jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1) < L
         ).astype(jnp.float32)
-        k = K(tn[:], tp[:], off[:], cw[:], fold[:], maskL)
+        k = K(tn[:], tp[:], off[:], cw[:], fold[:], maskL, aux[:])
         xs = [_pad128(r[:]) for r in in_refs]
         outs = prog(k, xs)
         for o_ref, o in zip(out_refs, outs):
@@ -742,12 +827,13 @@ def _fused_pallas(name: str):
         n = ins[0].shape[0]
         grid = (n // T,)
         tn, tp, off, cw, fold, _ = _host_consts()
+        aux = _aux_for(name)
         data_spec = pl.BlockSpec(
             (T, L), lambda i: (i, 0), memory_space=pltpu.VMEM
         )
         const_specs = [
             pl.BlockSpec(c.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
-            for c in (tn, tp, off, cw, fold)
+            for c in (tn, tp, off, cw, fold, aux)
         ]
         return pl.pallas_call(
             kernel,
@@ -758,7 +844,7 @@ def _fused_pallas(name: str):
             in_specs=[data_spec] * n_in + const_specs,
             out_specs=[data_spec] * n_out,
         )(*ins, jnp.asarray(tn), jnp.asarray(tp), jnp.asarray(off),
-          jnp.asarray(cw), jnp.asarray(fold))
+          jnp.asarray(cw), jnp.asarray(fold), jnp.asarray(aux))
 
     return run
 
@@ -769,6 +855,7 @@ def _fused_xla(name: str, ins):
     k = K(
         jnp.asarray(tn), jnp.asarray(tp), jnp.asarray(off),
         jnp.asarray(cw), jnp.asarray(fold), jnp.asarray(maskL),
+        jnp.asarray(_aux_for(name)),
     )
     _, _, prog = PROGRAMS[name]
     xs = [_pad128(x) for x in ins]
@@ -791,6 +878,276 @@ def enabled() -> bool:
     return F8._use_pallas()
 
 
+# ---------------------------------------------------------------------------
+# Composite fp12 / G2 ops: row-stacked small kernels + XLA combines
+# ---------------------------------------------------------------------------
+# One Mosaic program per *small* op (fp2_mul / fp2_sqr / fp6_mul), with the
+# instances of an fp12-level operation stacked along the batch axis into a
+# single kernel launch; the cross-instance Karatsuba combines are cheap XLA
+# elementwise ops.  Same algebra and tighten placement as fields/tower.py.
+
+
+def _cat(arrs):
+    return jnp.concatenate(arrs, 0)
+
+
+def _splitk(arr, k):
+    n = arr.shape[0] // k
+    return [arr[i * n : (i + 1) * n] for i in range(k)]
+
+
+def _xi_c(c):
+    """xi-multiply on a [re, im] component pair."""
+    return [c[0] - c[1], c[0] + c[1]]
+
+
+def _v6_c(t):
+    """fp6 mul-by-v on a 6-component list: (c0,c1,c2) -> (xi c2, c0, c1)."""
+    x = _xi_c(t[4:6])
+    return [x[0], x[1], t[0], t[1], t[2], t[3]]
+
+
+def _tighten_x(a):
+    return F8.tighten(CTX, a)
+
+
+def fp12_mul_c(xs, ys):
+    """tower.fp12_mul as ONE fp6_mul kernel launch (3 instances stacked:
+    a*c, b*d, (a+b)*(c+d)) + XLA combine.  xs/ys: 12 comps (B..., L)."""
+    a, b = xs[:6], xs[6:]
+    c, d = ys[:6], ys[6:]
+    lhs = [_cat([a[j], b[j], a[j] + b[j]]) for j in range(6)]
+    rhs = [_cat([c[j], d[j], c[j] + d[j]]) for j in range(6)]
+    outs = fused("fp6_mul", *lhs, *rhs)
+    t0, t1, m = zip(*[_splitk(o, 3) for o in outs])  # 3 x 6-comp
+    t0, t1, m = list(t0), list(t1), list(m)
+    v1 = _v6_c(t1)
+    c0 = [t0[j] + v1[j] for j in range(6)]
+    c1 = [m[j] - (t0[j] + t1[j]) for j in range(6)]
+    return [_tighten_x(x) for x in c0 + c1]
+
+
+def fp12_sqr_c(xs):
+    """tower.fp12_sqr as one 2-instance fp6_mul launch."""
+    a, b = xs[:6], xs[6:]
+    avb = _v6_c(b)
+    lhs = [_cat([a[j] + b[j], a[j]]) for j in range(6)]
+    rhs = [_cat([a[j] + avb[j], b[j]]) for j in range(6)]
+    outs = fused("fp6_mul", *lhs, *rhs)
+    t, m = zip(*[_splitk(o, 2) for o in outs])
+    t, m = list(t), list(m)
+    vm = _v6_c(m)
+    c0 = [t[j] - (m[j] + vm[j]) for j in range(6)]
+    c1 = [m[j] + m[j] for j in range(6)]
+    return [_tighten_x(x) for x in c0 + c1]
+
+
+def fp12_usqr_c(xs):
+    """tower.fp12_usqr as one 9-instance fp2_sqr launch."""
+    a0, a1, a2 = [xs[0:2], xs[2:4], xs[4:6]]
+    b0, b1, b2 = [xs[6:8], xs[8:10], xs[10:12]]
+    sq_ops = [
+        b1, a0, [b1[0] + a0[0], b1[1] + a0[1]],
+        a2, b0, [a2[0] + b0[0], a2[1] + b0[1]],
+        b2, a1, [b2[0] + a1[0], b2[1] + a1[1]],
+    ]
+    re = _cat([o[0] for o in sq_ops])
+    im = _cat([o[1] for o in sq_ops])
+    o_re, o_im = fused("fp2_sqr", re, im)
+    sq = [[r, i] for r, i in zip(_splitk(o_re, 9), _splitk(o_im, 9))]
+    t0, t1, s01, t2, t3, s23, t4, t5, s45 = sq
+
+    def sub2(x, y):
+        return [x[0] - y[0], x[1] - y[1]]
+
+    def add2(x, y):
+        return [x[0] + y[0], x[1] + y[1]]
+
+    t6 = sub2(s01, add2(t0, t1))
+    t7 = sub2(s23, add2(t2, t3))
+    t8 = _xi_c(sub2(s45, add2(t4, t5)))
+    u0 = add2(_xi_c(t0), t1)
+    u2 = add2(_xi_c(t2), t3)
+    u4 = add2(_xi_c(t4), t5)
+
+    def three(x):
+        return [x[0] + x[0] + x[0], x[1] + x[1] + x[1]]
+
+    def two(x):
+        return [x[0] + x[0], x[1] + x[1]]
+
+    c0 = sub2(three(u0), two(a0)) + sub2(three(u2), two(a1)) + \
+        sub2(three(u4), two(a2))
+    c1 = add2(three(t8), two(b0)) + add2(three(t6), two(b1)) + \
+        add2(three(t7), two(b2))
+    return [_tighten_x(x) for x in c0 + c1]
+
+
+def sparse_mul_c(fs, lcs):
+    """pairing._mul_sparse as one 15-instance fp2_mul launch.
+    fs: 12 comps; lcs: 6 comps (c0, c3, c5)."""
+    a0, a1, a2 = [fs[0:2], fs[2:4], fs[4:6]]
+    b0, b1, b2 = [fs[6:8], fs[8:10], fs[10:12]]
+    c0, c3, c5 = [lcs[0:2], lcs[2:4], lcs[4:6]]
+
+    def add2(x, y):
+        return [x[0] + y[0], x[1] + y[1]]
+
+    def sub2(x, y):
+        return [x[0] - y[0], x[1] - y[1]]
+
+    s0, s1, s2 = add2(a0, b0), add2(a1, b1), add2(a2, b2)
+    pairs = [
+        (a0, c0), (a1, c0), (a2, c0),
+        (b1, c5), (b2, c3), (b0, c3), (b2, c5), (b0, c5), (b1, c3),
+        (s0, c0), (s1, c3), (s2, c5),
+        (add2(s0, s1), add2(c0, c3)),
+        (add2(s1, s2), add2(c3, c5)),
+        (add2(s0, s2), add2(c0, c5)),
+    ]
+    outs = fused(
+        "fp2_mul",
+        _cat([p[0][0] for p in pairs]), _cat([p[0][1] for p in pairs]),
+        _cat([p[1][0] for p in pairs]), _cat([p[1][1] for p in pairs]),
+    )
+    prods = [[r, i] for r, i in zip(_splitk(outs[0], 15), _splitk(outs[1], 15))]
+    (t00, t01, t02, u0, u1, u2, u3, u4, u5,
+     v0, v1, v2, v01, v12, v02) = prods
+    t1_0 = _xi_c(add2(u0, u1))
+    t1_1 = add2(u2, _xi_c(u3))
+    t1_2 = add2(u4, u5)
+    m_0 = add2(v0, _xi_c(sub2(v12, add2(v1, v2))))
+    m_1 = add2(sub2(v01, add2(v0, v1)), _xi_c(v2))
+    m_2 = add2(sub2(v02, add2(v0, v2)), v1)
+    t0_6 = t00 + t01 + t02
+    t1_6 = t1_0 + t1_1 + t1_2
+    m_6 = m_0 + m_1 + m_2
+    v1_6 = _v6_c(t1_6)
+    c0_out = [t0_6[j] + v1_6[j] for j in range(6)]
+    c1_out = [m_6[j] - (t0_6[j] + t1_6[j]) for j in range(6)]
+    return [_tighten_x(x) for x in c0_out + c1_out]
+
+
+def _g2_round(pairs):
+    """Stacked fp2_mul round for the G2 composite adds.  pairs: list of
+    ([re,im], [re,im])."""
+    outs = fused(
+        "fp2_mul",
+        _cat([p[0][0] for p in pairs]), _cat([p[0][1] for p in pairs]),
+        _cat([p[1][0] for p in pairs]), _cat([p[1][1] for p in pairs]),
+    )
+    k = len(pairs)
+    return [[r, i] for r, i in zip(_splitk(outs[0], k), _splitk(outs[1], k))]
+
+
+def _b3_c(shape):
+    re = jnp.broadcast_to(jnp.asarray(_b3_regs(True)[0][0, :L]), shape)
+    im = jnp.broadcast_to(jnp.asarray(_b3_regs(True)[1][0, :L]), shape)
+    return [re, im]
+
+
+def g2_add_c(P1, P2):
+    """Complete RCB G2 add via 3 stacked fp2_mul rounds (weierstrass.add
+    algebra).  P1/P2: ((X re/im), (Y..), (Z..)) 2-comp lists."""
+
+    def add2(x, y):
+        return [x[0] + y[0], x[1] + y[1]]
+
+    def sub2(x, y):
+        return [x[0] - y[0], x[1] - y[1]]
+
+    X1, Y1, Z1 = P1
+    X2, Y2, Z2 = P2
+    b3 = _b3_c(X1[0].shape)
+    r1 = _g2_round(
+        [
+            (X1, X2), (Y1, Y2), (Z1, Z2),
+            (add2(X1, Y1), add2(X2, Y2)),
+            (add2(Y1, Z1), add2(Y2, Z2)),
+            (add2(X1, Z1), add2(X2, Z2)),
+        ]
+    )
+    t0, t1, t2, m3, m4, m5 = r1
+    t3 = sub2(m3, add2(t0, t1))
+    t4 = sub2(m4, add2(t1, t2))
+    t5 = sub2(m5, add2(t0, t2))
+    w = add2(add2(t0, t0), t0)
+    bt2, bt5 = _g2_round([(b3, t2), (b3, t5)])
+    z3a = add2(t1, bt2)
+    t1m = sub2(t1, bt2)
+    c = _g2_round(
+        [(t3, t1m), (t4, bt5), (bt5, w), (t1m, z3a), (w, t3), (z3a, t4)]
+    )
+    X3 = sub2(c[0], c[1])
+    Y3 = add2(c[3], c[2])
+    Z3 = add2(c[5], c[4])
+    return tuple([_tighten_x(u[0]), _tighten_x(u[1])] for u in (X3, Y3, Z3))
+
+
+def g2_madd_c(P1, Q2):
+    """Mixed RCB G2 add (Z2=1) via 3 stacked fp2_mul rounds
+    (weierstrass.madd algebra)."""
+
+    def add2(x, y):
+        return [x[0] + y[0], x[1] + y[1]]
+
+    def sub2(x, y):
+        return [x[0] - y[0], x[1] - y[1]]
+
+    X1, Y1, Z1 = P1
+    X2, Y2 = Q2
+    b3 = _b3_c(X1[0].shape)
+    r1 = _g2_round(
+        [
+            (X1, X2), (Y1, Y2),
+            (add2(X1, Y1), add2(X2, Y2)),
+            (X2, Z1), (Y2, Z1),
+        ]
+    )
+    t0, t1, m3, zx, zy = r1
+    t3 = sub2(m3, add2(t0, t1))
+    t4 = add2(zy, Y1)
+    t5 = add2(zx, X1)
+    w = add2(add2(t0, t0), t0)
+    bt2, bt5 = _g2_round([(b3, Z1), (b3, t5)])
+    z3a = add2(t1, bt2)
+    t1m = sub2(t1, bt2)
+    c = _g2_round(
+        [(t3, t1m), (t4, bt5), (bt5, w), (t1m, z3a), (w, t3), (z3a, t4)]
+    )
+    X3 = sub2(c[0], c[1])
+    Y3 = add2(c[3], c[2])
+    Z3 = add2(c[5], c[4])
+    return tuple([_tighten_x(u[0]), _tighten_x(u[1])] for u in (X3, Y3, Z3))
+
+
+def g2_dbl_c(P1):
+    """Dedicated RCB G2 doubling via 3 stacked fp2_mul rounds
+    (weierstrass.double algebra)."""
+
+    def add2(x, y):
+        return [x[0] + y[0], x[1] + y[1]]
+
+    def sub2(x, y):
+        return [x[0] - y[0], x[1] - y[1]]
+
+    X, Y, Z = P1
+    b3 = _b3_c(X[0].shape)
+    r1 = _g2_round([(Y, Y), (Y, Z), (X, Y), (Z, Z)])
+    t0, t1, xy, z2 = r1
+    (t2,) = _g2_round([(b3, z2)])
+    t0_2 = add2(t0, t0)
+    t0_4 = add2(t0_2, t0_2)
+    z3_8y2 = add2(t0_4, t0_4)
+    y3a = add2(t0, t2)
+    t0m = sub2(t0, add2(add2(t2, t2), t2))
+    r3 = _g2_round([(t2, z3_8y2), (t1, z3_8y2), (t0m, y3a), (t0m, xy)])
+    x3a, z3, y3b, x3b = r3
+    Y3 = add2(y3b, x3a)
+    X3 = add2(x3b, x3b)
+    return tuple([_tighten_x(u[0]), _tighten_x(u[1])] for u in (X3, Y3, z3))
+
+
 def fused(name: str, *ins):
     """Run a fused op.  ins: (B..., L) f32 loose digit arrays (|value| <=
     2^11 * p, the tightened-output tier).  Returns list of (B..., L) digit
@@ -800,7 +1157,7 @@ def fused(name: str, *ins):
     batch = ins[0].shape[:-1]
     n = int(np.prod(batch)) if batch else 1
     flat = [x.reshape(n, L) for x in ins]
-    if F8._use_pallas():
+    if F8._use_pallas() and name in KERNEL_OPS:
         T = tile_for(name)
         pad = (-n) % T
         if pad:

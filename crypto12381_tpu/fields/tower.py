@@ -55,6 +55,22 @@ def _unflat12(comps, batch):
     return jnp.stack(comps, axis=-2).reshape(batch + (2, 3, 2, L))
 
 
+def _dispatch12(fn, *arrs12):
+    """Run a fused composite over fp12 arrays (promoting a scalar batch to
+    (1,) — the composites stack instances along axis 0)."""
+    arrs12 = jnp.broadcast_arrays(*arrs12)
+    scalar = arrs12[0].ndim == 4
+    if scalar:
+        arrs12 = [a[None] for a in arrs12]
+    comps = []
+    batch = arrs12[0].shape[:-4]
+    for a in arrs12:
+        cs, batch = _flat12(a)
+        comps.append(cs)
+    out = _unflat12(fn(*comps), batch)
+    return out[0] if scalar else out
+
+
 # ---------------------------------------------------------------------------
 # Fp2
 # ---------------------------------------------------------------------------
@@ -94,7 +110,24 @@ def fp2_mul_fp(a, s):
 
 def fp2_mul_many(pairs):
     """Karatsuba Fp2 products for a list of (a, b); 3 Fp muls each, all in
-    one stacked mont_mul."""
+    one stacked multiplication (one fused kernel launch when available)."""
+    if _fused_on():
+        k = len(pairs)
+        ab = jnp.broadcast_arrays(*[c for p in pairs for c in p])
+        batch = ab[0].shape[:-2]
+        flat = [c.reshape((-1,) + c.shape[len(batch):]) for c in ab]
+        a0 = jnp.concatenate([flat[2 * i][..., 0, :] for i in range(k)], 0)
+        a1 = jnp.concatenate([flat[2 * i][..., 1, :] for i in range(k)], 0)
+        b0 = jnp.concatenate([flat[2 * i + 1][..., 0, :] for i in range(k)], 0)
+        b1 = jnp.concatenate([flat[2 * i + 1][..., 1, :] for i in range(k)], 0)
+        o_re, o_im = FK.fused("fp2_mul", a0, a1, b0, b1)
+        n = o_re.shape[0] // k
+        out = []
+        for i in range(k):
+            re = o_re[i * n : (i + 1) * n].reshape(batch + (L,))
+            im = o_im[i * n : (i + 1) * n].reshape(batch + (L,))
+            out.append(jnp.stack([re, im], axis=-2))
+        return out
     xs, ys = [], []
     for a, b in pairs:
         a0, a1 = a[..., 0, :], a[..., 1, :]
@@ -127,6 +160,22 @@ def fp2_sqr(a):
 def fp2_sqr_many(elems):
     """Squares of a list of Fp2 elements — 2 Fp muls each, all in one
     stacked mont_mul (same trick as fp2_mul_many)."""
+    if _fused_on():
+        k = len(elems)
+        es = jnp.broadcast_arrays(*elems)
+        batch = es[0].shape[:-2]
+        flat = [c.reshape((-1,) + c.shape[len(batch):]) for c in es]
+        a0 = jnp.concatenate([f[..., 0, :] for f in flat], 0)
+        a1 = jnp.concatenate([f[..., 1, :] for f in flat], 0)
+        o_re, o_im = FK.fused("fp2_sqr", a0, a1)
+        n = o_re.shape[0] // k
+        return [
+            jnp.stack(
+                [o_re[i * n : (i + 1) * n].reshape(batch + (L,)),
+                 o_im[i * n : (i + 1) * n].reshape(batch + (L,))], axis=-2
+            )
+            for i in range(k)
+        ]
     xs, ys = [], []
     for a in elems:
         a0, a1 = a[..., 0, :], a[..., 1, :]
@@ -226,10 +275,40 @@ def _fp6_combine(t):
 
 
 def fp6_mul_many(pairs):
-    """Batch any number of Fp6 products through one stacked Fp mul.
+    """Batch any number of Fp6 products through one stacked Fp mul
+    (one fused fp6_mul kernel launch, instances row-stacked, when
+    available).
 
     Outputs are tightened (limbs < 2^18, zero top limb, value ~10p): they
     may be multiplied or subtracted freely downstream."""
+    if _fused_on():
+        k = len(pairs)
+        ab = jnp.broadcast_arrays(*[c for p in pairs for c in p])
+        batch = ab[0].shape[:-3]
+        flat = [c.reshape((-1,) + c.shape[len(batch):]) for c in ab]
+        comps = []
+        for side in (0, 1):
+            for ci in range(3):
+                for j in (0, 1):
+                    comps.append(
+                        jnp.concatenate(
+                            [flat[2 * i + side][..., ci, j, :]
+                             for i in range(k)], 0
+                        )
+                    )
+        outs = FK.fused("fp6_mul", *comps)
+        n = outs[0].shape[0] // k
+        res = []
+        for i in range(k):
+            cs = [o[i * n : (i + 1) * n].reshape(batch + (L,)) for o in outs]
+            res.append(
+                fp6_stack(
+                    jnp.stack(cs[0:2], -2),
+                    jnp.stack(cs[2:4], -2),
+                    jnp.stack(cs[4:6], -2),
+                )
+            )
+        return res
     fp2_pairs = []
     for a, b in pairs:
         fp2_pairs += _fp6_pairs(a, b)
@@ -285,10 +364,7 @@ def fp12_stack(a, b):
 
 def fp12_mul(x, y):
     if _fused_on():
-        x, y = jnp.broadcast_arrays(x, y)
-        xs, batch = _flat12(x)
-        ys, _ = _flat12(y)
-        return _unflat12(FK.fused("fp12_mul", *xs, *ys), batch)
+        return _dispatch12(FK.fp12_mul_c, x, y)
     a0, a1 = _h(x, 0), _h(x, 1)
     b0, b1 = _h(y, 0), _h(y, 1)
     t0, t1, m = fp6_mul_many(
@@ -303,8 +379,7 @@ def fp12_sqr(x):
     """Complex-squaring style: c0 = (a+b)(a+vb) - m - vm, c1 = 2m with
     m = a*b — 2 Fp6 muls."""
     if _fused_on():
-        xs, batch = _flat12(x)
-        return _unflat12(FK.fused("fp12_sqr", *xs), batch)
+        return _dispatch12(FK.fp12_sqr_c, x)
     a, b = _h(x, 0), _h(x, 1)
     t, m = fp6_mul_many([(fp6_add(a, b), fp6_add(a, fp6_mul_by_v(b, 22))), (a, b)])
     c0 = fp6_sub(t, fp6_add(m, fp6_mul_by_v(m, 22)), 26)
@@ -325,8 +400,7 @@ def fp12_usqr(x):
     full square from the 9 component squares.
     """
     if _fused_on():
-        xs, batch = _flat12(x)
-        return _unflat12(FK.fused("fp12_usqr", *xs), batch)
+        return _dispatch12(FK.fp12_usqr_c, x)
     a, b = _h(x, 0), _h(x, 1)
     a0, a1, a2 = _c(a, 0), _c(a, 1), _c(a, 2)
     b0, b1, b2 = _c(b, 0), _c(b, 1), _c(b, 2)

@@ -107,26 +107,37 @@ def force_affine(ops: W.FieldOps, points, scalars_std, gen_affine):
     n = scalars_std.shape[0]
     is_id = ops.is_zero(Z)
     safe = ops.select(is_id, ops.one((n,)), Z)
-    B = min(1024, n)
-    pad = (-n) % B
+    U = 4
+    B = 128   # block length of the sequential product chain (U-divisible)
+    pad = (-n) % (B * U)
     if pad:
         safe = jnp.concatenate([safe, ops.one((pad,))], 0)
     m = safe.shape[0] // B
     zb = jnp.moveaxis(safe.reshape((m, B) + safe.shape[1:]), 1, 0)  # (B, m, ..)
+    zg = zb.reshape((B // U, U) + zb.shape[1:])
 
-    def fwd(carry, z):
-        return ops.mul_many([(carry, z)])[0], carry
+    def fwd(carry, zs):
+        pres = []
+        for j in range(U):
+            pres.append(carry)
+            carry = ops.mul_many([(carry, zs[j])])[0]
+        return carry, jnp.stack(pres, 0)
 
-    total, prefix = jax.lax.scan(fwd, ops.one((m,)), zb)
+    total, prefix = jax.lax.scan(fwd, ops.one((m,)), zg)
+    prefix = prefix.reshape((B,) + zb.shape[1:])
     tinv = ops.inv(total)
 
     def bwd(carry, args):
-        z, pre = args
-        out = ops.mul_many([(carry, pre)])[0]
-        nxt = ops.mul_many([(carry, z)])[0]
-        return nxt, out
+        zs, pres = args
+        outs = [None] * U
+        for j in reversed(range(U)):
+            outs[j] = ops.mul_many([(carry, pres[j])])[0]
+            carry = ops.mul_many([(carry, zs[j])])[0]
+        return carry, jnp.stack(outs, 0)
 
-    _, zinv = jax.lax.scan(bwd, tinv, (zb, prefix), reverse=True)
+    pg = prefix.reshape((B // U, U) + zb.shape[1:])
+    _, zinv = jax.lax.scan(bwd, tinv, (zg, pg), reverse=True)
+    zinv = zinv.reshape((B,) + zb.shape[1:])
     zinv = jnp.moveaxis(zinv, 0, 1).reshape(safe.shape)[:n]
     x, y = ops.mul_many([(X, zinv), (Y, zinv)])
     gx, gy = gen_affine
@@ -168,10 +179,11 @@ def msm(points, scalars_std, ops: W.FieldOps, c: int = 12, lanes: int = 64,
     assert (lanes & (lanes - 1)) == 0
     K = -(-256 // c)
     nbuck = (1 << (c - 1)) + 1
+    U = 4  # point-blocks per scan iteration (backend per-step cost)
 
     x, y, scalars_std = force_affine(ops, points, scalars_std, gen_affine)
     (x, y), scalars_std = pad_affine(
-        ops, (x, y), scalars_std, lanes, gen_affine
+        ops, (x, y), scalars_std, lanes * U, gen_affine
     )
     n = scalars_std.shape[0]
     steps = n // lanes
@@ -187,9 +199,8 @@ def msm(points, scalars_std, ops: W.FieldOps, c: int = 12, lanes: int = 64,
     lane_idx = jnp.arange(lanes)[:, None]
     win_idx = jnp.arange(K)[None, :]
 
-    def step(buckets, args):
-        pts, ds = args                                # (lanes,2,*e), (lanes,K)
-        idx = jnp.abs(ds)
+    def step(buckets, pts, ds):
+        idx = jnp.abs(ds)                             # (lanes, K)
         cur = buckets[lane_idx, win_idx, idx]         # (lanes,K,3,*e)
         cur_t = _unstack(cur, e_ndim)
         px = jnp.take(pts, 0, axis=1)[:, None]        # (lanes,1,*e)
@@ -198,10 +209,17 @@ def msm(points, scalars_std, ops: W.FieldOps, c: int = 12, lanes: int = 64,
         py_s = ops.select(neg, ops.neg(py), py)       # (lanes,K,*e)
         px_b = jnp.broadcast_to(px, py_s.shape)
         new = W.madd(ops, cur_t, (px_b, py_s))
-        buckets = buckets.at[lane_idx, win_idx, idx].set(_stack(new, e_ndim))
+        return buckets.at[lane_idx, win_idx, idx].set(_stack(new, e_ndim))
+
+    def group(buckets, args):
+        pts_u, ds_u = args       # (U, lanes, 2, *e), (U, lanes, K)
+        for j in range(U):
+            buckets = step(buckets, pts_u[j], ds_u[j])
         return buckets, None
 
-    buckets, _ = jax.lax.scan(step, buckets, (P, digits))
+    Pg = P.reshape((steps // U, U) + P.shape[1:])
+    Dg = digits.reshape((steps // U, U) + digits.shape[1:])
+    buckets, _ = jax.lax.scan(group, buckets, (Pg, Dg))
 
     # lane tree-reduction -> (K, nbuck, 3, *e)
     g = lanes
@@ -213,20 +231,7 @@ def msm(points, scalars_std, ops: W.FieldOps, c: int = 12, lanes: int = 64,
         g = half
     buckets = buckets[0]                              # (K, nbuck, 3, *e)
 
-    # bucket collapse: S_k = sum_{b>=1} b * bucket[k,b] via suffix sums
-    def collapse(carry, b):
-        run, total = carry
-        bp = _unstack(buckets[:, b], e_ndim)
-        run = W.add(ops, run, bp)
-        total = W.add(ops, total, run)
-        return (run, total), None
-
-    (run, total), _ = jax.lax.scan(
-        collapse,
-        (W.identity(ops, (K,)), W.identity(ops, (K,))),
-        jnp.arange(nbuck - 1, 0, -1),
-    )
-    S = _stack(total, e_ndim)                         # (K, 3, *e)
+    S = _stack(_collapse_buckets(ops, buckets, nbuck, K, e_ndim), e_ndim)
 
     # window combine, Horner from the top window down
     def horner(acc, k):
@@ -239,6 +244,84 @@ def msm(points, scalars_std, ops: W.FieldOps, c: int = 12, lanes: int = 64,
         horner, W.identity(ops, ()), jnp.arange(K - 1, -1, -1)
     )
     return acc
+
+
+def _suffix_weighted(ops: W.FieldOps, pts, m, e_ndim, unroll=4):
+    """Σ_{b=0}^{m-1} b * pts[:, b] per leading row via the run/total suffix
+    scan, walking b = m-1 .. 1 in unrolled groups."""
+
+    def one_step(carry, bp):
+        run, total = carry
+        run = W.add(ops, run, bp)
+        total = W.add(ops, total, run)
+        return (run, total)
+
+    K = pts.shape[0]
+    init = (W.identity(ops, (K,)), W.identity(ops, (K,)))
+    idx = np.arange(m - 1, 0, -1)
+    ng = len(idx) // unroll
+
+    def group(carry, bs):
+        for j in range(unroll):
+            bp = _unstack(jnp.take(pts, bs[j], axis=1), e_ndim)
+            carry = one_step(carry, bp)
+        return carry, None
+
+    carry = init
+    if ng:
+        carry, _ = jax.lax.scan(
+            group, carry, jnp.asarray(idx[: ng * unroll].reshape(ng, unroll))
+        )
+    for b in idx[ng * unroll :]:
+        carry = one_step(carry, _unstack(pts[:, int(b)], e_ndim))
+    return carry[1]
+
+
+def _collapse_buckets(ops: W.FieldOps, buckets, nbuck, K, e_ndim):
+    """S_k = Σ_{b>=1} b · bucket[k, b] in ~O(√nbuck) scan iterations.
+
+    Splitting b = χ·cc + j (χ a power of two): S = Σ_j j·(Σ_cc P[cc,j])
+    + χ · Σ_cc cc·(Σ_j P[cc,j]).  The two inner sums are log-depth
+    batched tree reductions; the two weighted sums are short suffix
+    scans.  The naive single suffix scan is nbuck-1 sequential steps —
+    thousands of iterations at c >= 12 on a backend that charges ~1.2 ms
+    per scan step."""
+    chi = 1
+    while chi * chi < nbuck:
+        chi *= 2
+    m = -(-nbuck // chi)
+    pad = chi * m - nbuck
+    if pad:
+        idp = _stack(W.identity(ops, (K, pad)), e_ndim)
+        buckets = jnp.concatenate([buckets, idp], axis=1)
+    grid = buckets.reshape((K, m, chi) + buckets.shape[2:])
+
+    def tree(pts, axis):
+        nloc = pts.shape[axis]
+        while nloc > 1:
+            half = nloc // 2
+            a = _unstack(jnp.take(pts, np.arange(half), axis=axis), e_ndim)
+            b = _unstack(
+                jnp.take(pts, np.arange(half, 2 * half), axis=axis), e_ndim
+            )
+            s = _stack(W.add(ops, a, b), e_ndim)
+            if nloc % 2:
+                s = jnp.concatenate(
+                    [s, jnp.take(pts, np.arange(nloc - 1, nloc), axis=axis)],
+                    axis=axis,
+                )
+            pts = s
+            nloc = pts.shape[axis]
+        return jnp.squeeze(pts, axis=axis)
+
+    cols = tree(grid, 1)                 # (K, chi, 3, *e): Σ over cc
+    rows = tree(grid, 2)                 # (K, m, 3, *e):   Σ over j
+    s1 = _suffix_weighted(ops, cols, chi, e_ndim)        # Σ j·col_j
+    s2 = _suffix_weighted(ops, rows, m, e_ndim)          # Σ cc·row_cc
+    # S = s1 + χ·s2 (χ is a power of two: log2(χ) doublings)
+    for _ in range(int(np.log2(chi))):
+        s2 = W.double(ops, s2)
+    return W.add(ops, s1, s2)
 
 
 def _gen_affine_g1():

@@ -29,12 +29,18 @@ from ..fields import active as FP
 from ..fields import tower as TW
 from ..params import P, R, X_ABS
 from ..curves import g2 as G2
+from ..curves import weierstrass as W
 
 CTX = FP.FP_CTX
 
 # ---------------------------------------------------------------------------
 # Miller digit schedule (host constants)
 # ---------------------------------------------------------------------------
+
+
+#: digits processed per scan iteration (this backend pays ~1.2 ms fixed
+#: per scan step — see BASELINE.md; unrolling trades graph size for steps)
+_UNROLL = 4
 
 
 @functools.lru_cache(maxsize=1)
@@ -112,13 +118,16 @@ def _mul_sparse(f, line):
     """
     c0, c3, c5 = line
     if TW._fused_on():
-        fs, batch = TW._flat12(f)
+        scalar = f.ndim == 4
+        fb = f[None] if scalar else f
+        fs, batch = TW._flat12(fb)
         lcs = [
             jnp.broadcast_to(c[..., j, :], batch + (TW.L,))
             for c in (c0, c3, c5)
             for j in (0, 1)
         ]
-        return TW._unflat12(TW.FK.fused("fp12_sparse_mul", *fs, *lcs), batch)
+        out = TW._unflat12(TW.FK.sparse_mul_c(fs, lcs), batch)
+        return out[0] if scalar else out
     a, b = TW._h(f, 0), TW._h(f, 1)
     a0, a1, a2 = TW._c(a, 0), TW._c(a, 1), TW._c(a, 2)
     b0, b1, b2 = TW._c(b, 0), TW._c(b, 1), TW._c(b, 2)
@@ -175,10 +184,10 @@ def miller_loop(p_aff, q_aff):
     A0 = (Px, Py, one2)
     f0 = TW.fp12_one(batch)
 
-    # ONE scan over the whole digit schedule: the add-step runs under a
-    # scalar lax.cond (taken on the 6 nonzero digits only), so the Miller
-    # loop compiles a single small body instead of unrolled segments —
-    # compile time is graph-size-bound for this super-graph.
+    # Scan over the digit schedule in UNROLLED GROUPS: this backend has a
+    # large fixed cost per scan iteration (~1.2 ms measured on a trivial
+    # body), so each iteration processes _UNROLL digits; the remainder
+    # digits run outside the scan with STATIC digit values (no lax.cond).
     digits = np.asarray(_digits(), np.int32)
 
     def add_step(op):
@@ -186,7 +195,7 @@ def miller_loop(p_aff, q_aff):
         pay = jnp.where((sgn > 0).reshape((1,) * (Py.ndim)), Py, NPy)
         line = _line_add(A, (Px, pay), qx, qy)
         f = _mul_sparse(f, line)
-        A = G2.add(A, (Px, pay, one2))
+        A = W.madd(G2.ops(), A, (Px, pay))   # P is affine (Z = 1)
         return f, A
 
     def step(carry, d):
@@ -195,12 +204,28 @@ def miller_loop(p_aff, q_aff):
         line = _line_dbl(A, qx, qy)
         f = _mul_sparse(f, line)
         A = G2.double(A)
-        f, A = jax.lax.cond(
+        if isinstance(d, int):               # static digit: no cond
+            if d != 0:
+                f, A = add_step((f, A, jnp.int32(d)))
+            return f, A
+        return jax.lax.cond(
             d != 0, add_step, lambda op: (op[0], op[1]), (f, A, d)
         )
-        return (f, A), None
 
-    (f, _), _ = jax.lax.scan(step, (f0, A0), jnp.asarray(digits))
+    def group(carry, dvec):
+        for j in range(_UNROLL):
+            carry = step(carry, dvec[j])
+        return carry, None
+
+    ng = len(digits) // _UNROLL
+    carry = (f0, A0)
+    if ng:
+        carry, _ = jax.lax.scan(
+            group, carry, jnp.asarray(digits[: ng * _UNROLL].reshape(ng, _UNROLL))
+        )
+    for d in digits[ng * _UNROLL :]:
+        carry = step(carry, int(d))
+    f, _ = carry
     return TW.fp12_conj(f)  # SIGN_OF_X = NEGATIVEX
 
 
@@ -230,12 +255,19 @@ def _pow_abs_x(g):
         runs.append((len(bits) - 1 - prev, False))
 
     def sqr_run(acc, n):
-        if n == 1:
-            return TW.fp12_usqr(acc)
-        out, _ = jax.lax.scan(
-            lambda a, _: (TW.fp12_usqr(a), None), acc, None, length=n
-        )
-        return out
+        ng, rem = divmod(n, _UNROLL)
+        if ng >= 2:
+            def body(a, _):
+                for _ in range(_UNROLL):
+                    a = TW.fp12_usqr(a)
+                return a, None
+
+            acc, _ = jax.lax.scan(body, acc, None, length=ng)
+        else:
+            rem = n
+        for _ in range(rem):
+            acc = TW.fp12_usqr(acc)
+        return acc
 
     acc = g
     for n, mul_after in runs:
@@ -362,7 +394,7 @@ def multi_miller_shared(p_affs, q_affs, inf=None):
         f, A, sgn = op
         pay = jnp.where((sgn > 0).reshape((1,) * Py.ndim), Py, NPy)
         lines = _line_add(A, (Px, pay), qx, qy)
-        A = G2.add(A, (Px, pay, one2))
+        A = W.madd(G2.ops(), A, (Px, pay))   # P is affine (Z = 1)
         return absorb(f, lines), A
 
     def step(carry, d):
@@ -371,12 +403,29 @@ def multi_miller_shared(p_affs, q_affs, inf=None):
         lines = _line_dbl(A, qx, qy)
         A = G2.double(A)
         f = absorb(f, lines)
-        f, A = jax.lax.cond(
+        if isinstance(d, int):
+            if d != 0:
+                f, A = add_step((f, A, jnp.int32(d)))
+            return f, A
+        return jax.lax.cond(
             d != 0, add_step, lambda op: (op[0], op[1]), (f, A, d)
         )
-        return (f, A), None
 
-    (f, _), _ = jax.lax.scan(step, (f0, A0), jnp.asarray(digits))
+    def group(carry, dvec):
+        for j in range(_UNROLL):
+            carry = step(carry, dvec[j])
+        return carry, None
+
+    ng = len(digits) // _UNROLL
+    carry = (f0, A0)
+    if ng:
+        carry, _ = jax.lax.scan(
+            group, carry,
+            jnp.asarray(digits[: ng * _UNROLL].reshape(ng, _UNROLL)),
+        )
+    for d in digits[ng * _UNROLL :]:
+        carry = step(carry, int(d))
+    f, _ = carry
     return TW.fp12_conj(f)
 
 
@@ -421,7 +470,15 @@ def gt_pow(f, e_std):
             idx.reshape((1,) + idx.shape + (1,) * rest), (1,) + T.shape[1:]
         )
         entry = jnp.take_along_axis(T, idxe, axis=0)[0]
-        return TW.fp12_mul(acc, entry), None
+        return TW.fp12_mul(acc, entry)
 
-    acc, _ = jax.lax.scan(step, TW.fp12_one(batch), idxs)
+    def grp(acc, idx4):
+        for j in range(4):
+            acc = step(acc, idx4[j])
+        return acc, None
+
+    acc, _ = jax.lax.scan(
+        grp, TW.fp12_one(batch),
+        idxs.reshape((idxs.shape[0] // 4, 4) + idxs.shape[1:]),
+    )
     return acc

@@ -107,6 +107,90 @@ def test_fused_sparse_mul():
     assert bool(np.asarray(TW.fp12_eq(old, new)).all())
 
 
+def test_composites_match_direct_programs():
+    """The row-stacked composites (TPU path for the fp12-level ops) agree
+    with the monolithic XLA programs and the scan-based tower ops."""
+    x, y = _rand_fp12(), _rand_fp12()
+    xs, batch = _flat12(x)
+    ys, _ = _flat12(y)
+    assert bool(np.asarray(TW.fp12_eq(
+        TW.fp12_mul(x, y), TW._unflat12(FK.fp12_mul_c(xs, ys), batch)
+    )).all())
+    assert bool(np.asarray(TW.fp12_eq(
+        TW.fp12_sqr(x), TW._unflat12(FK.fp12_sqr_c(xs), batch)
+    )).all())
+    assert bool(np.asarray(TW.fp12_eq(
+        TW.fp12_usqr(x), TW._unflat12(FK.fp12_usqr_c(xs), batch)
+    )).all())
+    from crypto12381_tpu.pairing import pairing as PAIR
+
+    line = (_rand_fp2(), _rand_fp2(), _rand_fp2())
+    lcs = [c[..., j, :] for c in line for j in (0, 1)]
+    assert bool(np.asarray(TW.fp12_eq(
+        PAIR._mul_sparse(x, line),
+        TW._unflat12(FK.sparse_mul_c(xs, lcs), batch),
+    )).all())
+
+
+def test_fused_g2_composite_adds():
+    from crypto12381_tpu.curves import g2 as G2
+    from crypto12381_tpu.curves import weierstrass as W
+    from crypto12381_tpu.params import R
+    from crypto12381_tpu.pyref import curve as C
+
+    ks = [rng.randrange(1, R) for _ in range(2)]
+    q = [C.g2_mul(C.G2_GEN, k) for k in ks]
+
+    def fp2s(vs):
+        return jnp.stack(
+            [FP.from_int(CTX, [v[0] for v in vs]),
+             FP.from_int(CTX, [v[1] for v in vs])], axis=-2
+        )
+
+    qx = fp2s([p[0] for p in q])
+    qy = fp2s([p[1] for p in q])
+    qz = fp2s([(1, 0), (1, 0)])
+    qa = (qx[:1], qy[:1], qz[:1])
+    qb = (qx[1:], qy[1:], qz[1:])
+    assert bool(np.asarray(G2.eq(
+        W.add(G2.ops(), qa, qb), G2._fused_add(qa, qb)
+    )).all())
+    assert bool(np.asarray(G2.eq(
+        W.madd(G2.ops(), qa, (qb[0], qb[1])),
+        G2._fused_madd(qa, (qb[0], qb[1])),
+    )).all())
+    # mixed add vs complete add agreement
+    assert bool(np.asarray(G2.eq(
+        W.madd(G2.ops(), qa, (qb[0], qb[1])), W.add(G2.ops(), qa, qb)
+    )).all())
+    # dedicated doubling (generic + fused composite) vs add(p, p)
+    assert bool(np.asarray(G2.eq(
+        W.double(G2.ops(), qa), W.add(G2.ops(), qa, qa)
+    )).all())
+    assert bool(np.asarray(G2.eq(
+        G2._fused_dbl(qa), W.add(G2.ops(), qa, qa)
+    )).all())
+
+
+def test_dedicated_double_g1():
+    from crypto12381_tpu.curves import g1 as G1
+    from crypto12381_tpu.curves import weierstrass as W
+    from crypto12381_tpu.params import R
+    from crypto12381_tpu.pyref import curve as C
+
+    ks = [rng.randrange(1, R) for _ in range(2)]
+    pts = [C.g1_mul(C.G1_GEN, k) for k in ks]
+    P = G1.from_affine_ints([p[0] for p in pts], [p[1] for p in pts])
+    dbl = W.double(G1.ops(), P)
+    exp = W.add(G1.ops(), P, P)
+    assert bool(np.asarray(G1.eq(dbl, exp)).all())
+    assert bool(np.asarray(G1.eq(G1._fused_dbl(P), exp)).all())
+    # identity doubles to identity (completeness of RCB Alg. 9)
+    idp = G1.identity((2,))
+    assert bool(np.asarray(G1.is_identity(W.double(G1.ops(), idp))).all())
+    assert bool(np.asarray(G1.is_identity(G1._fused_dbl(idp))).all())
+
+
 def test_fused_curve_adds():
     from crypto12381_tpu.curves import g1 as G1
     from crypto12381_tpu.curves import g2 as G2
@@ -130,6 +214,14 @@ def test_fused_curve_adds():
     assert bool(np.asarray(
         G1.eq(G1._fused_add(a, a), W.add(G1.ops(), a, a))
     ).all())
+    # mixed add: fused vs generic vs complete
+    q_aff = (b[0], b[1])
+    assert bool(np.asarray(G1.eq(
+        W.madd(G1.ops(), a, q_aff), W.add(G1.ops(), a, b)
+    )).all())
+    assert bool(np.asarray(G1.eq(
+        G1._fused_madd(a, q_aff), W.add(G1.ops(), a, b)
+    )).all())
 
     q = [C.g2_mul(C.G2_GEN, k) for k in ks[2:]]
 
