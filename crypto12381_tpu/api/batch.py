@@ -325,6 +325,28 @@ class GTVec:
     def one(cls, batch=()) -> "GTVec":
         return cls(TW.fp12_one(batch))
 
+    @classmethod
+    def from_elements(cls, elems: Iterable) -> "GTVec":
+        """Host GTElements -> one device batch (single stacked transfer)."""
+        from ..pyref import field as PF
+
+        rows = []
+        for e in elems:
+            cs = PF.fp12_coeffs_w(e.val)
+            rows.append([comp for pair_ in cs for comp in pair_])
+        arr = np.empty((len(rows), 12), object)
+        for i, r in enumerate(rows):
+            arr[i] = r
+        dev = FPA.from_int(FPX, arr)              # (B, 12, L) Montgomery
+        cs6 = [dev[:, 2 * k : 2 * k + 2, :] for k in range(6)]
+        return cls(TW.fp12_from_coeffs_w(cs6))
+
+    @classmethod
+    def parse(cls, blobs: Iterable[bytes]) -> "GTVec":
+        from .elements import GTElement
+
+        return cls.from_elements(GTElement.parse(b) for b in blobs)
+
     @property
     def shape(self):
         return self.f.shape[:-4]

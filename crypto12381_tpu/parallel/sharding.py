@@ -126,3 +126,70 @@ def sharded_batched_pairing(mesh: Mesh, p_affs, q_affs):
         check_rep=False,
     ))
     return fn(p_affs[0], p_affs[1], q_affs[0], q_affs[1])
+
+
+def sharded_ps_verify(mesh: Mesh, s1, s2, g2e, X2e, Y2e, ms_std):
+    """End-to-end PS batched verify sharded over the mesh (protocol-level
+    sharding, not just a raw kernel): each device runs the FULL device
+    path on its batch shard — the GS G2 ladder for X2 * Y2^m, the
+    shared-squaring double-ate, one final exponentiation, the is_one
+    check.  Embarrassingly parallel (zero collectives; the output stays
+    sharded and is gathered by the host fetch).
+
+    s1, s2: api.batch.G1Vec of shape (B,); g2e/X2e/Y2e: scalar host
+    G2Elements; ms_std: (B, L) Fr std limbs.  Uneven batches pad with
+    identity signatures (their slot verifies True and is sliced off).
+    Returns a (B,) bool array.
+    """
+    from ..api import batch as BT
+
+    B = ms_std.shape[0]
+    D = mesh.devices.size
+    Bp = -(-B // D) * D
+    pad = Bp - B
+
+    def padded(vec):
+        if pad == 0:
+            return vec.p
+        idp = BT.G1Vec.identity((pad,)).p
+        return tuple(
+            jnp.concatenate([c, i], 0) for c, i in zip(vec.p, idp)
+        )
+
+    s1p = padded(s1)
+    s2p = padded(s2)
+    msp = (
+        ms_std
+        if pad == 0
+        else jnp.concatenate(
+            [ms_std, jnp.zeros((pad, ms_std.shape[1]), ms_std.dtype)], 0
+        )
+    )
+    X2v = BT.G2Vec.from_elements([X2e])
+    Y2v = BT.G2Vec.from_elements([Y2e])
+    g2v = BT.G2Vec.from_elements([g2e])
+
+    def local(s1x, s1y, s1z, s2x, s2y, s2z, ms):
+        nloc = ms.shape[0]
+        v1 = BT.G1Vec((s1x, s1y, s1z))
+        v2 = BT.G1Vec((s2x, s2y, s2z))
+        t = X2v.broadcast_to((nloc,)) * (
+            Y2v.broadcast_to((nloc,)) ** BT.ZpVec(ms)
+        )
+        ok = BT.pair_prod(
+            (v1, t), (v2.inverse(), g2v.broadcast_to((nloc,)))
+        ).is_one()
+        return ok
+
+    pspec = PS(AXIS)
+    fn = jax.jit(shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(pspec,) * 7,
+        out_specs=pspec,
+        check_rep=False,
+    ))
+    ok = fn(*s1p, *s2p, msp)
+    import numpy as np
+
+    return np.asarray(ok)[:B]

@@ -13,7 +13,7 @@ from ..api.sets import (G1, G2, Zp, hash_, inverse, pair, parse, product_,
                         select_in, serialize)
 
 __all__ = ["Keys", "PublicKey", "PresInfo", "keygen", "generate_attributes",
-           "issue", "pres", "verify"]
+           "issue", "pres", "verify", "verify_batch"]
 
 
 @dataclass
@@ -111,3 +111,45 @@ def verify(m: bytes, attr: list[bytes], I, presinfo: PresInfo, pk: PublicKey) ->
         [Y[J[j]] ** u[j] for j in range(len(J))]
     )
     return cond1 and lhs == rhs
+
+
+def verify_batch(m: bytes, attr: list[bytes], I, presinfos, pk: PublicKey):
+    """Device-batched verify of B presentations under one (m, attr, I, pk):
+    the pairing condition runs as a shared-squaring double-ate over the
+    whole batch, the group-equation as batched G1 ladders (the reference
+    verifies each presentation separately, examples/AC-bbs/src/verify.cpp).
+    Only the Fiat-Shamir hash stays on host.  Returns a (B,) bool array."""
+    import numpy as np
+
+    from ..api import batch as BT
+
+    B = len(presinfos)
+    g, tg, tX = parse(G1, G2 ** 2, pk.fixed_part)
+    Y = [parse(G1, b) for b in pk.Y]
+    a = [parse(Zp, b) for b in attr]
+    n = len(a)
+    J = [i for i in range(n) if i not in I]
+    CI = g * product_([Y[i] ** a[i] for i in I])   # batch-constant
+
+    parsed = [parse(G1 ** 3, Zp ** 2, p.fixed_part) for p in presinfos]
+    A_ = BT.G1Vec.from_elements(p[0] for p in parsed)
+    B_ = BT.G1Vec.from_elements(p[1] for p in parsed)
+    U = BT.G1Vec.from_elements(p[2] for p in parsed)
+    s = BT.ZpVec.from_ints([p[3] for p in parsed])
+    t = BT.ZpVec.from_ints([p[4] for p in parsed])
+    us = [[parse(Zp, b) for b in p.u] for p in presinfos]
+    cs = BT.ZpVec.from_ints(
+        [hash_(m, p[0], p[1], p[2]).to(Zp) for p in parsed]
+    )
+
+    tXv = BT.G2Vec.from_elements([tX]).broadcast_to((B,))
+    tgv = BT.G2Vec.from_elements([tg]).broadcast_to((B,))
+    cond1 = BT.pair_prod((A_, tXv), (B_.inverse(), tgv)).is_one()
+
+    lhs = U * (B_ ** cs)
+    rhs = BT.G1Vec.from_elements([CI]).broadcast_to((B,)) ** s
+    rhs = rhs * (A_ ** t)
+    for j in range(len(J)):
+        yv = BT.G1Vec.from_elements([Y[J[j]]]).broadcast_to((B,))
+        rhs = rhs * (yv ** BT.ZpVec.from_ints([u[j] for u in us]))
+    return np.asarray(cond1) & np.asarray(lhs == rhs)

@@ -18,7 +18,7 @@ from ..api.sets import (G1, G2, Zp, hash_, inverse, pair, parse, product_,
                         select_in, serialize)
 
 __all__ = ["Keys", "PublicKey", "keygen", "generate_attributes", "issue",
-           "redact", "pres", "verify"]
+           "redact", "pres", "verify", "verify_batch"]
 
 
 @dataclass
@@ -145,3 +145,48 @@ def verify(m: bytes, attr: list[bytes], I, presinfo: bytes, pk: PublicKey) -> bo
     acc = product_([tY[i] ** q[i] for i in I])
     cond3 = pair(C_J_, acc) == pair(D_, tg)
     return cond1 and cond2 and cond3
+
+
+def verify_batch(m: bytes, attr: list[bytes], I, presinfos, pk: PublicKey):
+    """Device-batched 3-condition verify of B presentations under one
+    (m, attr, I, pk): both pairing conditions run as shared-squaring
+    double-ates over the batch, the group equation as batched G1 ladders
+    (ref examples/AC-rbbs/src/verify.cpp:6-27 verifies one at a time).
+    Returns a (B,) bool array."""
+    import numpy as np
+
+    from ..api import batch as BT
+
+    B = len(presinfos)
+    g, tg, tX = parse(G1, G2 ** 2, pk.fixed_part)
+    a = [parse(Zp, b) for b in attr]
+    n = len(a)
+    q = _q_challenges(a, I, n)
+    Y = {i: parse(G1, pk.Y[i]) for i in I}
+    tY = {i: parse(G2, pk.tilde_Y[n - 1 - i]) for i in I}
+    CI = g * product_([Y[i] ** a[i] for i in I])      # batch constants
+    acc = product_([tY[i] ** q[i] for i in I])
+
+    parsed = [parse(G1 ** 5, Zp ** 2, p) for p in presinfos]
+    A_ = BT.G1Vec.from_elements(p[0] for p in parsed)
+    B_ = BT.G1Vec.from_elements(p[1] for p in parsed)
+    C_J_ = BT.G1Vec.from_elements(p[2] for p in parsed)
+    D_ = BT.G1Vec.from_elements(p[3] for p in parsed)
+    U = BT.G1Vec.from_elements(p[4] for p in parsed)
+    s = BT.ZpVec.from_ints([p[5] for p in parsed])
+    t = BT.ZpVec.from_ints([p[6] for p in parsed])
+    cs = BT.ZpVec.from_ints(
+        [hash_(m, p[0], p[1], p[2], p[3], p[4]).to(Zp) for p in parsed]
+    )
+
+    tXv = BT.G2Vec.from_elements([tX]).broadcast_to((B,))
+    tgv = BT.G2Vec.from_elements([tg]).broadcast_to((B,))
+    accv = BT.G2Vec.from_elements([acc]).broadcast_to((B,))
+    cond1 = BT.pair_prod(
+        (A_, tXv), ((C_J_ * B_).inverse(), tgv)
+    ).is_one()
+    cond3 = BT.pair_prod((C_J_, accv), (D_.inverse(), tgv)).is_one()
+
+    lhs2 = U * (B_ ** cs)
+    rhs2 = (BT.G1Vec.from_elements([CI]).broadcast_to((B,)) ** s) * (A_ ** t)
+    return np.asarray(cond1) & np.asarray(lhs2 == rhs2) & np.asarray(cond3)

@@ -19,7 +19,7 @@ from dataclasses import dataclass
 from ..api.sets import (G1, G2, GT, Zp, hash_, inverse, pair, parse,
                         product_, select_in, serialize)
 
-__all__ = ["Keys", "PublicKey", "keygen", "generate_attributes", "issue",
+__all__ = ["Keys", "PublicKey", "keygen", "generate_attributes", "issue", "verify_batch",
            "redact", "pres", "verify"]
 
 
@@ -160,3 +160,53 @@ def verify(m: bytes, attr: list[bytes], I, presinfo: bytes, pk: PublicKey) -> bo
     ) ** c
     t2 = pair(product_([Y[i] ** q[i] for i in I]), tCJ_) == pair(D_, tg)
     return t1 and t2
+
+
+def verify_batch(m: bytes, attr: list[bytes], I, presinfos, pk: PublicKey):
+    """Device-batched verify of B redactable-PS presentations under one
+    (m, attr, I, pk): the GT condition runs as batched pairings with a
+    batched GS GT-power by the challenges, the q-condition as a
+    shared-squaring double-ate (ref examples/AC-rps/src/verify.cpp:15-26
+    verifies one at a time).  Returns a (B,) bool array."""
+    import numpy as np
+
+    from ..api import batch as BT
+
+    B = len(presinfos)
+    g, tg, tX = parse(G1, G2 ** 2, pk.fixed_part)
+    tY = [parse(G2, b) for b in pk.tilde_Y]
+    a = [parse(Zp, b) for b in attr]
+    n = len(a)
+    base = serialize(*[a[j] for j in I])
+    q = [hash_(base, int(i).to_bytes(8, "little")).to(Zp) for i in range(n)]
+    Y = {i: parse(G1, pk.Y[n - 1 - i]) for i in I}
+    prod_tY = None
+    for i in I:
+        if i == 0:
+            continue
+        term = tY[i] ** a[i]
+        prod_tY = term if prod_tY is None else prod_tY * term
+    tX_const = tX if prod_tY is None else tX * prod_tY
+    CYq = product_([Y[i] ** q[i] for i in I])
+
+    parsed = [parse(G1 ** 3, G2, GT, Zp, p) for p in presinfos]
+    A_ = BT.G1Vec.from_elements(p[0] for p in parsed)
+    B_ = BT.G1Vec.from_elements(p[1] for p in parsed)
+    D_ = BT.G1Vec.from_elements(p[2] for p in parsed)
+    tCJ_ = BT.G2Vec.from_elements(p[3] for p in parsed)
+    U = BT.GTVec.from_elements(p[4] for p in parsed)
+    s = BT.ZpVec.from_ints([p[5] for p in parsed])
+    cs = BT.ZpVec.from_ints(
+        [hash_(m, p[0], p[1], p[3], p[2], p[4]).to(Zp) for p in parsed]
+    )
+
+    tgv = BT.G2Vec.from_elements([tg]).broadcast_to((B,))
+    tY0v = BT.G2Vec.from_elements([tY[0]]).broadcast_to((B,))
+    rhs_g2 = BT.G2Vec.from_elements([tX_const]).broadcast_to((B,)) * tCJ_
+    P1 = BT.pair_vec(A_, tY0v ** s)
+    P2 = BT.pair_prod((A_.inverse(), rhs_g2), (B_, tgv))
+    t1 = (P1 * U.inverse() * (P2 ** cs).inverse_unitary()).is_one()
+
+    CYqv = BT.G1Vec.from_elements([CYq]).broadcast_to((B,))
+    t2 = BT.pair_prod((CYqv, tCJ_), (D_.inverse(), tgv)).is_one()
+    return np.asarray(t1) & np.asarray(t2)

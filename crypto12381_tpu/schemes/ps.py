@@ -60,13 +60,15 @@ def randomnize(signature: bytes, random) -> bytes:
     return serialize(s1**r, s2**r)
 
 
-def verify_batch(pk: bytes, messages, signatures):
+def verify_batch(pk: bytes, messages, signatures, mesh=None):
     """Device-batched verify of B signatures under one public key.
 
     The whole batch is TWO batched Miller loops (e(s1ᵢ, X2·Y2^mᵢ) and
     e(s2ᵢ⁻¹, g2)) sharing ONE batched final exponentiation — the reference
     materializes each side separately per signature (src/ps.cpp:26-33).
-    Returns a (B,) bool array.
+    With `mesh` (a jax.sharding.Mesh) the batch shards across the mesh and
+    every device runs its shard's full verify path
+    (parallel.sharding.sharded_ps_verify).  Returns a (B,) bool array.
     """
     import numpy as np
 
@@ -79,6 +81,10 @@ def verify_batch(pk: bytes, messages, signatures):
     sigs = [parse(G1 ** 2, s) for s in signatures]
     s1 = BT.G1Vec.from_elements(s[0] for s in sigs)
     s2 = BT.G1Vec.from_elements(s[1] for s in sigs)
+    if mesh is not None:
+        from ..parallel import sharding as SH
+
+        return SH.sharded_ps_verify(mesh, s1, s2, g2e, X2e, Y2e, ms.std)
     Y2 = BT.G2Vec.from_elements([Y2e]).broadcast_to((B,))
     X2 = BT.G2Vec.from_elements([X2e]).broadcast_to((B,))
     g2 = BT.G2Vec.from_elements([g2e]).broadcast_to((B,))

@@ -133,6 +133,70 @@ def test_bbs04_verify_and_open_batch_match_scalar():
     assert opened == scalar
 
 
+def test_ac_bbs_verify_batch_matches_scalar():
+    from crypto12381_tpu.schemes import ac_bbs
+
+    r = create_random_engine("batch-acbbs")
+    keys = ac_bbs.keygen(4, r)
+    attr = ac_bbs.generate_attributes(keys.pk, 4, r)
+    sig = ac_bbs.issue(keys, attr, r)
+    I = [0, 2]
+    m = b"batch message"
+    press = [ac_bbs.pres(m, attr, sig, I, keys.pk, r) for _ in range(3)]
+    scalar = [ac_bbs.verify(m, attr, I, p, keys.pk) for p in press]
+    assert scalar == [True] * 3
+    ok = ac_bbs.verify_batch(m, attr, I, press, keys.pk)
+    assert list(np.asarray(ok)) == scalar
+    bad = ac_bbs.PresInfo(fixed_part=press[0].fixed_part, u=list(press[1].u))
+    ok2 = ac_bbs.verify_batch(m, attr, I, [bad, press[1], press[2]], keys.pk)
+    assert list(np.asarray(ok2)) == [False, True, True]
+
+
+def test_ac_rbbs_verify_batch_matches_scalar():
+    from crypto12381_tpu.schemes import ac_rbbs
+
+    r = create_random_engine("batch-acrbbs")
+    keys = ac_rbbs.keygen(4, r)
+    attr = ac_rbbs.generate_attributes(keys.pk, 4, r)
+    sig = ac_rbbs.issue(keys, attr, r)
+    I = [1, 3]
+    cache = ac_rbbs.redact(attr, sig, I, keys.pk)
+    m = b"batch message"
+    press = [ac_rbbs.pres(m, sig, cache, r) for _ in range(3)]
+    scalar = [ac_rbbs.verify(m, attr, I, p, keys.pk) for p in press]
+    assert scalar == [True] * 3
+    ok = ac_rbbs.verify_batch(m, attr, I, press, keys.pk)
+    assert list(np.asarray(ok)) == scalar
+    ok2 = ac_rbbs.verify_batch(
+        m, attr, I, [press[1], press[1], press[2]], keys.pk
+    )
+    assert list(np.asarray(ok2)) == [True, True, True]
+    ok3 = ac_rbbs.verify_batch(
+        b"other", attr, I, press, keys.pk
+    )
+    assert list(np.asarray(ok3)) == [False, False, False]
+
+
+def test_ac_rps_verify_batch_matches_scalar():
+    """The reference's own AC-rps verify fails on its own presentations
+    (transcript mismatch, pinned behavior) — the batch path must agree
+    element-for-element with the scalar result, whatever it is."""
+    from crypto12381_tpu.schemes import ac_rps
+
+    r = create_random_engine("batch-acrps")
+    n = 3
+    keys = ac_rps.keygen(n, r)
+    attr = ac_rps.generate_attributes(keys.pk, n, r)
+    sig = ac_rps.issue(keys, attr, r)
+    I = [0, 2]
+    cache = ac_rps.redact(attr, sig, I, keys.pk)
+    m = b"batch message"
+    press = [ac_rps.pres(m, attr, sig, I, cache, keys.pk, r) for _ in range(3)]
+    scalar = [ac_rps.verify(m, attr, I, p, keys.pk) for p in press]
+    ok = ac_rps.verify_batch(m, attr, I, press, keys.pk)
+    assert list(np.asarray(ok)) == scalar
+
+
 def test_sss_batch_matches_scalar():
     """share_batch/reconstruct_batch produce the scalar paths' exact bytes
     (same CSPRNG draws; ref examples/shamir-secret-sharing params 4-of-6)."""

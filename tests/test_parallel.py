@@ -87,3 +87,32 @@ def test_sharded_batched_pairing():
         got = TW.fp12_to_pyref(jax.tree_util.tree_map(lambda x: x[i], e))
         expect = PF._fp12_canon(PF.fp12_pow(base, pas[i] * qbs[i] % R))
         assert got == expect, i
+
+
+def test_sharded_ps_verify_even_uneven_and_odd_mesh():
+    """End-to-end protocol sharding (VERDICT r2 #10): ps.verify_batch with
+    a mesh shards the whole verify path; uneven batches (B not divisible
+    by D) pad internally, and a 3-device (odd) mesh works too."""
+    from crypto12381_tpu.api.sets import create_random_engine
+    from crypto12381_tpu.schemes import ps
+
+    r = create_random_engine("sharded-ps")
+    keys = ps.key_gen(r)
+    msgs = [bytes([i + 1]) * 19 for i in range(10)]
+    sigs = [ps.sign(keys.sk, m, r) for m in msgs]
+    plain = ps.verify_batch(keys.pk, msgs, sigs)
+    assert list(np.asarray(plain)) == [True] * 10
+
+    # tamper message 4: its slot must go False in every sharding
+    msgs2 = list(msgs)
+    msgs2[4] = b"tampered"
+    expect = [True] * 10
+    expect[4] = False
+
+    mesh8 = SH.default_mesh()
+    got = ps.verify_batch(keys.pk, msgs2, sigs, mesh=mesh8)  # B=10, D=8
+    assert list(np.asarray(got)) == expect
+
+    mesh3 = SH.default_mesh(jax.devices()[:3])               # odd D
+    got3 = ps.verify_batch(keys.pk, msgs2, sigs, mesh=mesh3)
+    assert list(np.asarray(got3)) == expect
