@@ -264,7 +264,7 @@ class G1Vec(_PointVec):
 
         return [G1Element(p) for p in _obj_flat(G1C.to_affine_ints(self.p))]
 
-    def msm(self, scalars: ZpVec, c: int = 12, lanes: int = 64) -> "G1Vec":
+    def msm(self, scalars: ZpVec, c: int = 8, lanes: int = 64) -> "G1Vec":
         """Π self[i]^scalars[i] over the leading axis -> batch-free G1Vec."""
         n = self.p[0].shape[0]
         lanes = min(lanes, 1 << max(0, (n - 1).bit_length() - 1)) or 1
@@ -307,7 +307,7 @@ class G2Vec(_PointVec):
     def serialize(self) -> list[bytes]:
         return [codec.g2_serialize(p) for p in _obj_flat(G2C.to_affine_ints(self.p))]
 
-    def msm(self, scalars: ZpVec, c: int = 12, lanes: int = 64) -> "G2Vec":
+    def msm(self, scalars: ZpVec, c: int = 8, lanes: int = 64) -> "G2Vec":
         n = self.p[0].shape[0]
         lanes = min(lanes, 1 << max(0, (n - 1).bit_length() - 1)) or 1
         return G2Vec(MSM.msm_g2(self.p, scalars.std, c=c, lanes=lanes))

@@ -71,12 +71,14 @@ def window_digits(e_std: jnp.ndarray, c: int, K: int | None = None) -> jnp.ndarr
 
 def signed_window_digits(e_std: jnp.ndarray, c: int) -> jnp.ndarray:
     """(..., L) Fr std limbs -> (..., K) SIGNED digits in
-    [-2^(c-1), 2^(c-1)], K = ceil(256/c), with e = Σ d_i 2^(ci).
+    [-2^(c-1), 2^(c-1)], K = ceil(258/c), with e = Σ d_i 2^(ci).
 
     Branchless offset trick: f = e + Σ_i 2^(ci+c-1); the unsigned c-bit
     digits of f minus 2^(c-1) are the signed digits (no sequential borrow
-    chain — jit/batch friendly, unlike the reference's per-bit recoding)."""
-    K = -(-256 // c)
+    chain — jit/batch friendly, unlike the reference's per-bit recoding).
+    cK >= 258 so that ANY 256-bit scalar decomposes exactly (e need not be
+    reduced mod r: f = e + offset < 2^256 + 2^(cK-1)*1.01 < 2^cK)."""
+    K = -(-258 // c)
     off = sum(1 << (c * i + c - 1) for i in range(K))
     L = e_std.shape[-1]
     off_limbs = np.array(
@@ -165,8 +167,8 @@ def pad_affine(ops: W.FieldOps, xy, scalars_std, lanes: int, gen_affine):
     return (x, y), scalars_std
 
 
-def msm(points, scalars_std, ops: W.FieldOps, c: int = 12, lanes: int = 64,
-        gen_affine=None):
+def msm(points, scalars_std, ops: W.FieldOps, c: int = 8, lanes: int = 64,
+        gen_affine=None, unroll: int = 4):
     """sum_i scalars[i] * points[i].
 
     points: projective (X, Y, Z) tuple of (n, *elem) field arrays;
@@ -177,9 +179,9 @@ def msm(points, scalars_std, ops: W.FieldOps, c: int = 12, lanes: int = 64,
     """
     e_ndim = ops.elem_ndim
     assert (lanes & (lanes - 1)) == 0
-    K = -(-256 // c)
+    K = -(-258 // c)
     nbuck = (1 << (c - 1)) + 1
-    U = 4  # point-blocks per scan iteration (backend per-step cost)
+    U = unroll  # point-blocks per scan iteration (backend per-step cost)
 
     x, y, scalars_std = force_affine(ops, points, scalars_std, gen_affine)
     (x, y), scalars_std = pad_affine(
@@ -334,9 +336,11 @@ def _gen_affine_g2():
     return (g[0], g[1])
 
 
-def msm_g1(points, scalars_std, c: int = 12, lanes: int = 64):
-    return msm(points, scalars_std, G1.ops(), c, lanes, _gen_affine_g1())
+def msm_g1(points, scalars_std, c: int = 8, lanes: int = 64, unroll: int = 4):
+    return msm(points, scalars_std, G1.ops(), c, lanes, _gen_affine_g1(),
+               unroll)
 
 
-def msm_g2(points, scalars_std, c: int = 12, lanes: int = 64):
-    return msm(points, scalars_std, G2.ops(), c, lanes, _gen_affine_g2())
+def msm_g2(points, scalars_std, c: int = 8, lanes: int = 64, unroll: int = 4):
+    return msm(points, scalars_std, G2.ops(), c, lanes, _gen_affine_g2(),
+               unroll)
