@@ -161,6 +161,57 @@ def scalar_mul_plain(p, e_std, n_bits: int = 255):
     return W.scalar_mul(ops(), p, e_std, n_bits)
 
 
+def mul_int(p, k: int):
+    """Multiply by a host integer (no mod-r reduction; cofactor/member
+    arithmetic)."""
+    import jax
+
+    if k == 0:
+        return identity(p[0].shape[:-2])
+    bits = np.array([int(b) for b in bin(k)[2:]], np.int32)
+
+    def body(acc, bit):
+        acc = W.double(ops(), acc)
+        acc = W.select_point(ops(), bit != 0, W.add(ops(), acc, p), acc)
+        return acc, None
+
+    acc, _ = jax.lax.scan(
+        body, identity(p[0].shape[:-2]), jnp.asarray(bits)
+    )
+    return acc
+
+
+def in_subgroup(p):
+    """Batched device G2 membership: psi(Q) == [x]Q, i.e.
+    psi(Q) + [|x|]Q == O for the negative BLS parameter x — one 64-bit
+    ladder + one endomorphism instead of a full [r]Q (TPU counterpart of
+    PAIR_G2member, ref pair_BLS12381.cpp:1132-1160)."""
+    from . import endo
+    from ..params import X_ABS
+
+    chk = W.add(ops(), endo.psi_g2(p), mul_int(p, X_ABS))
+    return jnp.logical_and(W.is_identity(ops(), chk), on_curve(p))
+
+
+def clear_cofactor(p):
+    """Batched device cofactor clearing (Budroni-Pintore fast method):
+    h(Q) = [x^2 - x - 1]Q + [x - 1]psi(Q) + psi^2([2]Q), with the two
+    [|x|]-ladders shared (x = -|x|)."""
+    from . import endo
+    from ..params import X_ABS
+
+    o = ops()
+    t0 = mul_int(p, X_ABS)                 # [|x|]Q = [-x]Q
+    t1 = mul_int(t0, X_ABS)                # [x^2]Q
+    # [x^2 - x - 1]Q = t1 + t0 - Q
+    a = W.add(o, W.add(o, t1, t0), W.negate(o, p))
+    # [x - 1]psi(Q) = psi([x - 1]Q) = psi(-(t0) - Q)
+    b = endo.psi_g2(W.negate(o, W.add(o, t0, p)))
+    # psi^2([2]Q)
+    c = endo.psi_g2(endo.psi_g2(W.double(o, p)))
+    return W.add(o, W.add(o, a, b), c)
+
+
 def to_affine(p):
     X, Y, Z = p
     zi = TW.fp2_inv(Z)

