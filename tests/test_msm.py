@@ -26,10 +26,18 @@ def test_window_digits():
 
 
 def test_signed_window_digits():
+    """Digits must reconstruct ANY 256-bit value exactly (not just e < r:
+    the bench feeds unreduced scalars — cK >= 258 coverage)."""
     for c in (4, 8, 12, 13):
-        K = -(-256 // c)
-        for e in (0, 1, rng.randrange(R), R - 1):
-            arr = FPI.from_int(FPI.FR_CTX, [e], mont=False)
+        K = -(-258 // c)
+        for e in (0, 1, rng.randrange(R), R - 1, (1 << 256) - 1,
+                  rng.randrange(1 << 256)):
+            import jax.numpy as jnp
+
+            limbs = np.array(
+                [(e >> (16 * i)) & 0xFFFF for i in range(18)], np.int32
+            )[None, :]
+            arr = jnp.asarray(limbs)  # raw limbs: NOT reduced mod r
             d = np.asarray(MSM.signed_window_digits(arr, c))[0].tolist()
             assert len(d) == K
             assert all(-(1 << (c - 1)) <= x <= (1 << (c - 1)) for x in d)
