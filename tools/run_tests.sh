@@ -30,8 +30,13 @@ run_group tests/test_fused.py tests/test_msm.py tests/test_pairing.py \
 # group 3: schemes, golden vectors, hashing, tower
 run_group tests/test_schemes.py tests/test_scheme_vectors.py \
           tests/test_sswu.py tests/test_tower.py tests/test_vectors_pyref.py
-# group 4: the device batch paths (heaviest pairing graphs)
-run_group tests/test_batch.py
+# group 4: the device batch paths — heaviest pairing graphs; even this
+# one file exceeds a single process's compile-memory budget, so every
+# test gets a fresh process.
+for t in $(python -m pytest --collect-only -q tests/test_batch.py 2>/dev/null \
+           | grep "::"); do
+    run_group "$t"
+done
 
 if [ "$fail" -eq 0 ]; then
     echo "ALL GROUPS GREEN"
