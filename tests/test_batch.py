@@ -255,7 +255,7 @@ def test_mhac_verify_pres_batch_matches_scalar():
     )
     assert list(np.asarray(ok)) == scalar
     # tamper one presentation: its slot (and only its slot) goes False
-    bad = mhac_bbs.Presentation(
+    bad = mhac_bbs.Pres(
         fixed_part=press[0].fixed_part, z=list(press[1].z),
         z_hid_pub=list(press[0].z_hid_pub),
     )
