@@ -85,12 +85,39 @@ def verify_batch(pk: bytes, messages, signatures, mesh=None):
         from ..parallel import sharding as SH
 
         return SH.sharded_ps_verify(mesh, s1, s2, g2e, X2e, Y2e, ms.std)
-    Y2 = BT.G2Vec.from_elements([Y2e]).broadcast_to((B,))
-    X2 = BT.G2Vec.from_elements([X2e]).broadcast_to((B,))
-    g2 = BT.G2Vec.from_elements([g2e]).broadcast_to((B,))
-    t = X2 * (Y2 ** ms)
-    ok = BT.pair_prod((s1, t), (s2.inverse(), g2)).is_one()
+    X2 = BT.G2Vec.from_elements([X2e])
+    Y2 = BT.G2Vec.from_elements([Y2e])
+    g2 = BT.G2Vec.from_elements([g2e])
+    ok = _verify_device_jit()(s1.p, s2.p, X2.p, Y2.p, g2.p, ms.std)
     return np.asarray(ok)
+
+
+def _verify_device_jit():
+    """One jitted graph for verify_batch's device portion: without it,
+    every tower op dispatches eagerly through the device tunnel (measured
+    ~0.7 s PER SIGNATURE on the tunneled v5e vs ~2 ms inside one jit)."""
+    global _VERIFY_DEV
+    if _VERIFY_DEV is None:
+        import jax
+
+        from ..api import batch as BT
+
+        def f(s1p, s2p, X2p, Y2p, g2p, ms):
+            B = ms.shape[0]
+
+            def b(v):
+                return BT.G2Vec(v).broadcast_to((B,))
+
+            t = b(X2p) * (b(Y2p) ** BT.ZpVec(ms))
+            return BT.pair_prod(
+                (BT.G1Vec(s1p), t), (BT.G1Vec(s2p).inverse(), b(g2p))
+            ).is_one()
+
+        _VERIFY_DEV = jax.jit(f)
+    return _VERIFY_DEV
+
+
+_VERIFY_DEV = None
 
 
 # ------------------------------------------------------------- multi-message
