@@ -92,17 +92,65 @@ def verify_batch(pp: PublicParameters, pk: bytes, messages, signatures):
     if n > len(he):
         raise ValueError("message is too long")
 
+    import jax.numpy as jnp
+
     sigs = [parse(G1, Zp, Zp, s) for s in signatures]
     A = BT.G1Vec.from_elements(s[0] for s in sigs)
     xs = BT.ZpVec.from_ints([s[1] for s in sigs])
     rs = BT.ZpVec.from_ints([s[2] for s in sigs])
-    mm = [[e[i].value if i < len(e) else 0 for i in range(n)] for e in enc]
-    g2 = BT.G2Vec.from_elements([g2e]).broadcast_to((B,))
-    w = BT.G2Vec.from_elements([we]).broadcast_to((B,))
-    h0 = BT.G1Vec.from_elements([h0e]).broadcast_to((B,))
-    base = BT.G1Vec.from_elements([g1e]).broadcast_to((B,)) * (h0 ** rs)
-    for i in range(n):
-        hi = BT.G1Vec.from_elements([he[i]]).broadcast_to((B,))
-        base = base * (hi ** BT.ZpVec.from_ints([row[i] for row in mm]))
-    ok = BT.pair_prod((A, w * (g2 ** xs)), (base.inverse(), g2)).is_one()
+    if n:
+        mm = jnp.stack(
+            [
+                BT.ZpVec.from_ints(
+                    [e[i].value if i < len(e) else 0 for e in enc]
+                ).std
+                for i in range(n)
+            ],
+            0,
+        )
+        hp = BT.G1Vec.from_elements(he[:n]).p
+    else:
+        mm = jnp.zeros((0, B, 18), jnp.int32)
+        hp = BT.G1Vec.identity((0,)).p
+    ok = _verify_device_jit()(
+        A.p, xs.std, rs.std, mm,
+        BT.G1Vec.from_elements([g1e]).p,
+        BT.G1Vec.from_elements([h0e]).p,
+        BT.G2Vec.from_elements([g2e]).p,
+        BT.G2Vec.from_elements([we]).p,
+        hp,
+    )
     return np.asarray(ok)
+
+
+def _verify_device_jit():
+    """Single jitted graph for the device portion (see ps._verify_device_jit
+    — eager dispatch through the tunnel is ~500x slower)."""
+    global _VERIFY_DEV
+    if _VERIFY_DEV is None:
+        import jax
+
+        from ..api import batch as BT
+
+        def f(Ap, xs, rs, mm, g1p, h0p, g2p, wp, hp):
+            B = xs.shape[0]
+
+            def b2(v):
+                return BT.G2Vec(v).broadcast_to((B,))
+
+            h0 = BT.G1Vec(h0p).broadcast_to((B,))
+            base = BT.G1Vec(g1p).broadcast_to((B,)) * (h0 ** BT.ZpVec(rs))
+            for i in range(mm.shape[0]):
+                hi = BT.G1Vec(tuple(c[i : i + 1] for c in hp))
+                base = base * (hi.broadcast_to((B,)) ** BT.ZpVec(mm[i]))
+            g2 = b2(g2p)
+            t = b2(wp) * (g2 ** BT.ZpVec(xs))
+            return BT.pair_prod(
+                (BT.G1Vec(Ap), t), (base.inverse(), g2)
+            ).is_one()
+
+        _VERIFY_DEV = jax.jit(f)
+    return _VERIFY_DEV
+
+
+_VERIFY_DEV = None
