@@ -122,21 +122,18 @@ def verify_batch(gpk: bytes, messages, signatures):
         BT.ZpVec.from_ints([s[i] for s in sigs]) for i in range(3, 9)
     )
 
-    g1 = BT.G1Vec.from_elements([g1e]).broadcast_to((B,))
-    h = BT.G1Vec.from_elements([he]).broadcast_to((B,))
-    u = BT.G1Vec.from_elements([ue]).broadcast_to((B,))
-    v = BT.G1Vec.from_elements([ve]).broadcast_to((B,))
-    g2 = BT.G2Vec.from_elements([g2e]).broadcast_to((B,))
-    w = BT.G2Vec.from_elements([we]).broadcast_to((B,))
-
-    nc = -c
-    R1 = (u ** sa) * (T1 ** nc)
-    R2 = (v ** sb) * (T2 ** nc)
-    R4 = (T1 ** sx) * (u ** (-sd1))
-    R5 = (T2 ** sx) * (v ** (-sd2))
-    P = (T3 ** sx) * (h ** (-sd1 + -sd2)) * (g1 ** nc)
-    Q = (h ** (-(sa + sb))) * (T3 ** c)
-    R3 = BT.pair_prod((P, g2), (Q, w))
+    r1p, r2p, r4p, r5p, r3f = _verify_device_jit()(
+        T1.p, T2.p, T3.p,
+        c.std, sa.std, sb.std, sx.std, sd1.std, sd2.std,
+        BT.G1Vec.from_elements([g1e]).p,
+        BT.G1Vec.from_elements([he]).p,
+        BT.G1Vec.from_elements([ue]).p,
+        BT.G1Vec.from_elements([ve]).p,
+        BT.G2Vec.from_elements([g2e]).p,
+        BT.G2Vec.from_elements([we]).p,
+    )
+    R1, R2, R4, R5 = (BT.G1Vec(p) for p in (r1p, r2p, r4p, r5p))
+    R3 = BT.GTVec(r3f)
 
     t1b, t2b, t3b = T1.serialize(), T2.serialize(), T3.serialize()
     r1b, r2b, r4b, r5b = (x.serialize() for x in (R1, R2, R4, R5))
@@ -149,6 +146,48 @@ def verify_batch(gpk: bytes, messages, signatures):
         for i in range(B)
     ]
     return np.asarray(ok)
+
+
+def _verify_device_jit():
+    """Single jitted graph for verify_batch's device portion (R1..R5 and
+    the R3 pairing product) — eager dispatch through the device tunnel is
+    ~500x slower (see ps._verify_device_jit)."""
+    global _VERIFY_DEV
+    if _VERIFY_DEV is None:
+        import jax
+
+        from ..api import batch as BT
+
+        def f(T1p, T2p, T3p, cs, sas, sbs, sxs, sd1s, sd2s,
+              g1p, hp, up, vp, g2p, wp):
+            B = cs.shape[0]
+            T1, T2, T3 = BT.G1Vec(T1p), BT.G1Vec(T2p), BT.G1Vec(T3p)
+            c, sa, sb = BT.ZpVec(cs), BT.ZpVec(sas), BT.ZpVec(sbs)
+            sx, sd1, sd2 = BT.ZpVec(sxs), BT.ZpVec(sd1s), BT.ZpVec(sd2s)
+
+            def b1(v):
+                return BT.G1Vec(v).broadcast_to((B,))
+
+            def b2(v):
+                return BT.G2Vec(v).broadcast_to((B,))
+
+            g1, h, u, v = b1(g1p), b1(hp), b1(up), b1(vp)
+            g2, w = b2(g2p), b2(wp)
+            nc = -c
+            R1 = (u ** sa) * (T1 ** nc)
+            R2 = (v ** sb) * (T2 ** nc)
+            R4 = (T1 ** sx) * (u ** (-sd1))
+            R5 = (T2 ** sx) * (v ** (-sd2))
+            P = (T3 ** sx) * (h ** (-sd1 + -sd2)) * (g1 ** nc)
+            Q = (h ** (-(sa + sb))) * (T3 ** c)
+            R3 = BT.pair_prod((P, g2), (Q, w))
+            return R1.p, R2.p, R4.p, R5.p, R3.f
+
+        _VERIFY_DEV = jax.jit(f)
+    return _VERIFY_DEV
+
+
+_VERIFY_DEV = None
 
 
 def open_batch(gmsk: bytes, signatures):
