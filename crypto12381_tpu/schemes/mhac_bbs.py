@@ -331,20 +331,34 @@ def verify_pres_batch(pp, pk: bytes, ptype: PresType, Prv, public_attributes,
     zs = [[parse(Zp, b) for b in p.z] for p in presentations]
     zhp = [[parse(Zp, b) for b in p.z_hid_pub] for p in presentations]
 
-    C_rev = BT.G1Vec.from_elements([C_reve]).broadcast_to((B,))
-    U = (B_ ** (-ch)) * (C_rev ** zr) * (A_ ** ze)
-    for ii in range(len(Prv)):
-        hv = BT.G1Vec.from_elements([he[Prv[ii]]]).broadcast_to((B,))
-        U = U * (hv ** BT.ZpVec.from_ints([z[ii] for z in zs]))
-    for ii in range(len(Hid_Pub)):
-        hv = BT.G1Vec.from_elements([he[Hid_Pub[ii]]]).broadcast_to((B,))
-        U = U * (hv ** BT.ZpVec.from_ints([z[ii] for z in zhp]))
+    import jax.numpy as jnp
 
-    g2 = BT.G2Vec.from_elements([g2e]).broadcast_to((B,))
-    w = BT.G2Vec.from_elements([we]).broadcast_to((B,))
-    ok_pair = np.asarray(
-        BT.pair_prod((A_, w), (B_.inverse(), g2)).is_one()
+    def _expmat(rows, k):
+        if k == 0:
+            return jnp.zeros((0, B, 18), jnp.int32)
+        return jnp.stack(
+            [BT.ZpVec.from_ints([r[ii] for r in rows]).std for ii in range(k)],
+            0,
+        )
+
+    zmat = _expmat(zs, len(Prv))
+    zhmat = _expmat(zhp, len(Hid_Pub))
+    hprv = (
+        BT.G1Vec.from_elements([he[i] for i in Prv]).p
+        if Prv else BT.G1Vec.identity((0,)).p
     )
+    hhp = (
+        BT.G1Vec.from_elements([he[i] for i in Hid_Pub]).p
+        if Hid_Pub else BT.G1Vec.identity((0,)).p
+    )
+    up, ok_pair = _verify_device_jit()(
+        A_.p, B_.p, ch.std, zr.std, ze.std, zmat, zhmat,
+        BT.G1Vec.from_elements([C_reve]).p, hprv, hhp,
+        BT.G2Vec.from_elements([g2e]).p,
+        BT.G2Vec.from_elements([we]).p,
+    )
+    U = BT.G1Vec(up)
+    ok_pair = np.asarray(ok_pair)
 
     ub = U.serialize()
     ab = A_.serialize()
@@ -356,3 +370,40 @@ def verify_pres_batch(pp, pk: bytes, ptype: PresType, Prv, public_attributes,
         for i in range(B)
     ])
     return ok_pair & ok_ch
+
+
+def _verify_device_jit():
+    """Single jitted graph for verify_pres_batch's device portion (the U
+    recombination ladders + the e(A,w)==e(B,g2) double-ate) — eager
+    dispatch through the device tunnel is ~500x slower (see
+    ps._verify_device_jit)."""
+    global _VERIFY_DEV
+    if _VERIFY_DEV is None:
+        import jax
+
+        from ..api import batch as BT
+
+        def f(Ap, Bp, ch, zr, ze, zmat, zhmat, crp, hprv, hhp, g2p, wp):
+            B = ch.shape[0]
+            A_, B_ = BT.G1Vec(Ap), BT.G1Vec(Bp)
+
+            def b1(v):
+                return BT.G1Vec(v).broadcast_to((B,))
+
+            U = (B_ ** (-BT.ZpVec(ch))) * (b1(crp) ** BT.ZpVec(zr)) * (
+                A_ ** BT.ZpVec(ze)
+            )
+            for mat, hs in ((zmat, hprv), (zhmat, hhp)):
+                for ii in range(mat.shape[0]):
+                    hv = BT.G1Vec(tuple(c[ii : ii + 1] for c in hs))
+                    U = U * (hv.broadcast_to((B,)) ** BT.ZpVec(mat[ii]))
+            g2 = BT.G2Vec(g2p).broadcast_to((B,))
+            w = BT.G2Vec(wp).broadcast_to((B,))
+            ok = BT.pair_prod((A_, w), (B_.inverse(), g2)).is_one()
+            return U.p, ok
+
+        _VERIFY_DEV = jax.jit(f)
+    return _VERIFY_DEV
+
+
+_VERIFY_DEV = None
