@@ -142,14 +142,55 @@ def verify_batch(m: bytes, attr: list[bytes], I, presinfos, pk: PublicKey):
         [hash_(m, p[0], p[1], p[2]).to(Zp) for p in parsed]
     )
 
-    tXv = BT.G2Vec.from_elements([tX]).broadcast_to((B,))
-    tgv = BT.G2Vec.from_elements([tg]).broadcast_to((B,))
-    cond1 = BT.pair_prod((A_, tXv), (B_.inverse(), tgv)).is_one()
+    import jax.numpy as jnp
 
-    lhs = U * (B_ ** cs)
-    rhs = BT.G1Vec.from_elements([CI]).broadcast_to((B,)) ** s
-    rhs = rhs * (A_ ** t)
-    for j in range(len(J)):
-        yv = BT.G1Vec.from_elements([Y[J[j]]]).broadcast_to((B,))
-        rhs = rhs * (yv ** BT.ZpVec.from_ints([u[j] for u in us]))
-    return np.asarray(cond1) & np.asarray(lhs == rhs)
+    if J:
+        umat = jnp.stack(
+            [BT.ZpVec.from_ints([u[j] for u in us]).std for j in range(len(J))],
+            0,
+        )
+        yj = BT.G1Vec.from_elements([Y[j] for j in J]).p
+    else:
+        umat = jnp.zeros((0, B, 18), jnp.int32)
+        yj = BT.G1Vec.identity((0,)).p
+    ok = _verify_device_jit()(
+        A_.p, B_.p, U.p, s.std, t.std, cs.std, umat,
+        BT.G1Vec.from_elements([CI]).p, yj,
+        BT.G2Vec.from_elements([tX]).p,
+        BT.G2Vec.from_elements([tg]).p,
+    )
+    return np.asarray(ok)
+
+
+def _verify_device_jit():
+    """One jitted graph for verify_batch's device portion (see
+    ps._verify_device_jit — eager dispatch is ~500x slower on TPU)."""
+    global _VERIFY_DEV
+    if _VERIFY_DEV is None:
+        import jax
+
+        from ..api import batch as BT
+
+        def f(Ap, Bp, Up, s, t, cs, umat, CIp, yj, tXp, tgp):
+            B = s.shape[0]
+            A_, B_, U = BT.G1Vec(Ap), BT.G1Vec(Bp), BT.G1Vec(Up)
+
+            def b2(v):
+                return BT.G2Vec(v).broadcast_to((B,))
+
+            cond1 = BT.pair_prod(
+                (A_, b2(tXp)), (B_.inverse(), b2(tgp))
+            ).is_one()
+            lhs = U * (B_ ** BT.ZpVec(cs))
+            rhs = BT.G1Vec(CIp).broadcast_to((B,)) ** BT.ZpVec(s)
+            rhs = rhs * (A_ ** BT.ZpVec(t))
+            for j in range(umat.shape[0]):
+                yv = BT.G1Vec(tuple(c[j : j + 1] for c in yj))
+                rhs = rhs * (yv.broadcast_to((B,)) ** BT.ZpVec(umat[j]))
+            return cond1 & (lhs == rhs)
+
+        _VERIFY_DEV = jax.jit(f)
+    return _VERIFY_DEV
+
+
+_VERIFY_DEV = None

@@ -200,13 +200,47 @@ def verify_batch(m: bytes, attr: list[bytes], I, presinfos, pk: PublicKey):
         [hash_(m, p[0], p[1], p[3], p[2], p[4]).to(Zp) for p in parsed]
     )
 
-    tgv = BT.G2Vec.from_elements([tg]).broadcast_to((B,))
-    tY0v = BT.G2Vec.from_elements([tY[0]]).broadcast_to((B,))
-    rhs_g2 = BT.G2Vec.from_elements([tX_const]).broadcast_to((B,)) * tCJ_
-    P1 = BT.pair_vec(A_, tY0v ** s)
-    P2 = BT.pair_prod((A_.inverse(), rhs_g2), (B_, tgv))
-    t1 = (P1 * U.inverse() * (P2 ** cs).inverse_unitary()).is_one()
+    ok = _verify_device_jit()(
+        A_.p, B_.p, D_.p, tCJ_.p, U.f, s.std, cs.std,
+        BT.G1Vec.from_elements([CYq]).p,
+        BT.G2Vec.from_elements([tg]).p,
+        BT.G2Vec.from_elements([tY[0]]).p,
+        BT.G2Vec.from_elements([tX_const]).p,
+    )
+    return np.asarray(ok)
 
-    CYqv = BT.G1Vec.from_elements([CYq]).broadcast_to((B,))
-    t2 = BT.pair_prod((CYqv, tCJ_), (D_.inverse(), tgv)).is_one()
-    return np.asarray(t1) & np.asarray(t2)
+
+def _verify_device_jit():
+    """One jitted graph for verify_batch's device portion (see
+    ps._verify_device_jit — eager dispatch is ~500x slower on TPU)."""
+    global _VERIFY_DEV
+    if _VERIFY_DEV is None:
+        import jax
+
+        from ..api import batch as BT
+
+        def f(Ap, Bp, Dp, tCJp, Uf, s, cs, CYqp, tgp, tY0p, tXcp):
+            B = s.shape[0]
+            A_, B_, D_ = BT.G1Vec(Ap), BT.G1Vec(Bp), BT.G1Vec(Dp)
+            tCJ_ = BT.G2Vec(tCJp)
+            U = BT.GTVec(Uf)
+
+            def b2(v):
+                return BT.G2Vec(v).broadcast_to((B,))
+
+            tgv = b2(tgp)
+            rhs_g2 = b2(tXcp) * tCJ_
+            P1 = BT.pair_vec(A_, b2(tY0p) ** BT.ZpVec(s))
+            P2 = BT.pair_prod((A_.inverse(), rhs_g2), (B_, tgv))
+            t1 = (
+                P1 * U.inverse() * (P2 ** BT.ZpVec(cs)).inverse_unitary()
+            ).is_one()
+            CYqv = BT.G1Vec(CYqp).broadcast_to((B,))
+            t2 = BT.pair_prod((CYqv, tCJ_), (D_.inverse(), tgv)).is_one()
+            return t1 & t2
+
+        _VERIFY_DEV = jax.jit(f)
+    return _VERIFY_DEV
+
+
+_VERIFY_DEV = None
