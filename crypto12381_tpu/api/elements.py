@@ -177,7 +177,23 @@ class G1Element:
     @classmethod
     def from_hash(cls, digest64: bytes) -> "G1Element":
         """hash-to-G1: digest mod p -> SSWU map2point -> clear cofactor
-        (g1_point.hpp:203-218)."""
+        (g1_point.hpp:203-218).  Default: exact host path.  With
+        CRYPTO12381_DEVICE_HASH=1 the device SSWU kernel
+        (hashing/sswu.py) runs instead — identical results (tested), one
+        jit call per element; the batched form is api.batch.hash_to_g1."""
+        import os
+
+        if os.environ.get("CRYPTO12381_DEVICE_HASH"):
+            import jax.numpy as jnp
+            import numpy as np
+
+            from . import batch as BT
+
+            d = jnp.asarray(
+                np.frombuffer(bytes(digest64), np.uint8)[None, :]
+            )
+            vec = BT.hash_to_g1(d)
+            return vec.to_elements()[0]
         return cls(SS.hash_to_g1(digest64))
 
     def __mul__(self, other):

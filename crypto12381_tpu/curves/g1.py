@@ -164,7 +164,28 @@ def clear_cofactor(p):
 
 
 def in_subgroup(p):
-    """Full order check [r]P == O (endomorphism speedup later)."""
+    """Endomorphism subgroup check (PAIR_G1member,
+    ref pair_BLS12381.cpp:1034-1065): for P on the curve,
+    phi(P) == [-x^2]P with phi(X,Y,Z) = (beta*X, Y, Z), plus the
+    low-order rejection [x]P != P — two 64-bit |x| chains (63 dbl +
+    5 add each) instead of the old 255-step [r]P ladder.  The identity
+    counts as a member (it IS in the subgroup; the reference returns
+    false there only because callers treat infinity separately)."""
+    from ..params import X_ABS
+    from . import endo
+
+    o = ops()
+    xp = W.mul_const_chain(o, p, X_ABS)
+    low = W.eq(o, xp, p)
+    t = W.negate(o, W.mul_const_chain(o, xp, X_ABS))     # [-x^2]P
+    w = endo.phi_g1(p)
+    member = jnp.logical_and(W.eq(o, w, t), jnp.logical_not(low))
+    member = jnp.logical_and(member, on_curve(p))
+    return jnp.logical_or(member, is_identity(p))
+
+
+def in_subgroup_slow(p):
+    """Full order check [r]P == O (differential oracle for in_subgroup)."""
     return jnp.logical_and(is_identity(mul_int(p, R)), on_curve(p))
 
 

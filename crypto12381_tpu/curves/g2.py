@@ -189,7 +189,7 @@ def in_subgroup(p):
     from . import endo
     from ..params import X_ABS
 
-    chk = W.add(ops(), endo.psi_g2(p), mul_int(p, X_ABS))
+    chk = W.add(ops(), endo.psi_g2(p), W.mul_const_chain(ops(), p, X_ABS))
     return jnp.logical_and(W.is_identity(ops(), chk), on_curve(p))
 
 

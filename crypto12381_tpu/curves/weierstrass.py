@@ -233,3 +233,39 @@ def scalar_mul_bits(ops: FieldOps, p, bits: jnp.ndarray):
 
 def scalar_mul(ops: FieldOps, p, e_std: jnp.ndarray, n_bits: int = 255):
     return scalar_mul_bits(ops, p, scalar_bits(e_std, n_bits))
+
+
+def mul_const_chain(ops: FieldOps, p, k: int, unroll: int = 4):
+    """[k]P for a HOST constant k as a static double-and-add chain: zero
+    runs compile to scans of pure doublings and only k's set bits pay an
+    addition (k = |x| has Hamming weight 6: 63 dbl + 5 add instead of the
+    generic ladder's select-add per bit).  Exception-free (complete adds).
+    """
+    assert k > 0
+    bits = bin(k)[2:]
+    add_at = [i for i, b in enumerate(bits) if i and b == "1"]
+    runs = []
+    prev = 0
+    for off in add_at:
+        runs.append((off - prev, True))
+        prev = off
+    if prev < len(bits) - 1:
+        runs.append((len(bits) - 1 - prev, False))
+
+    acc = p
+    for n, add_after in runs:
+        ng, rem = divmod(n, unroll)
+        if ng >= 2:
+            def body(a, _):
+                for _ in range(unroll):
+                    a = double(ops, a)
+                return a, None
+
+            acc, _ = jax.lax.scan(body, acc, None, length=ng)
+        else:
+            rem = n
+        for _ in range(rem):
+            acc = double(ops, acc)
+        if add_after:
+            acc = add(ops, acc, p)
+    return acc

@@ -549,6 +549,48 @@ def cond_sub(ctx: FieldCtx8, x: jnp.ndarray, m_limbs: np.ndarray) -> jnp.ndarray
     return jnp.where((borrow != 0)[..., None], x, diff)
 
 
+# ---------------------------------------------------------------------------
+# Exact arithmetic on CANONICAL digit arrays (value in [0, p), digits in
+# [0, 255]).  No multiplies — borrow/carry machinery only.  On canonical
+# digits equality of VALUES is equality of DIGITS, so group-law edge-case
+# detection (x1 == x2, y1 == -y2) in the sorted-MSM batched-affine pass is
+# a free integer compare instead of a reduce_full round-trip.
+# ---------------------------------------------------------------------------
+
+
+def canon_sub(ctx: FieldCtx8, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(a - b) mod p for canonical a, b -> canonical digits."""
+    d, borrow = borrow_sub(a, b)
+    # borrow: d holds a - b + 2^(8L); adding p and dropping the top carry
+    # (carry_rounds keeps width L) yields a - b + p exactly.
+    dp = carry_rounds(d + jnp.asarray(ctx.p_limbs), 2)
+    return jnp.where((borrow != 0)[..., None], dp, d)
+
+
+def canon_add(ctx: FieldCtx8, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(a + b) mod p for canonical a, b -> canonical digits."""
+    s = carry_rounds(
+        jnp.concatenate([a + b, jnp.zeros_like(a[..., :1])], -1), 2
+    )[..., : ctx.L]
+    return cond_sub(ctx, s, ctx.p_limbs)
+
+
+def canon_neg(ctx: FieldCtx8, a: jnp.ndarray) -> jnp.ndarray:
+    """(-a) mod p for canonical a -> canonical digits (0 stays 0)."""
+    d, _ = borrow_sub(jnp.broadcast_to(jnp.asarray(ctx.p_limbs), a.shape), a)
+    return cond_sub(ctx, d, ctx.p_limbs)
+
+
+def canon_is_zero(a: jnp.ndarray) -> jnp.ndarray:
+    """Free zero test on canonical digits."""
+    return jnp.all(a == 0, axis=-1)
+
+
+def canon_eq(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Free equality test on canonical digits."""
+    return jnp.all(a == b, axis=-1)
+
+
 def _mont_mul_small(ctx: FieldCtx8, an: jnp.ndarray, c_limbs: np.ndarray) -> jnp.ndarray:
     """REDC(an * c) with NO input offset: an must already be carried digits
     in [-1, 256] with |value| < 2^7 p (e.g. a fresh mont_mul output) and c a

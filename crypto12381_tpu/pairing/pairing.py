@@ -70,31 +70,23 @@ _exponent_identity_check()
 # (PAIR_line with SEXTIC_TWIST=M_TYPE packs (a.a, a.b, c.b)).
 
 
-def _line_dbl(A, qx, qy):
-    """Tangent line at A=(X,Y,Z) evaluated at (qx, qy); the point update
-    itself uses the complete formulas (any projective representative of 2A
-    differs only by a subfield scalar, killed by the final exponentiation).
-
-    AA = -2YZ*xi * qy ; BB = 12*xi*Z^2 - Y^2 ; CC = 3X^2 * qx
-    (PAIR_double, pair_BLS12381.cpp:40-78, b=4 M-type).
-    """
+def _line_dbl_coeffs(A):
+    """Tangent-line w-coefficients at A=(X,Y,Z), before evaluation at the
+    G1 point: AA = -2YZ*xi ; BB = 12*xi*Z^2 - Y^2 ; CC = 3X^2
+    (PAIR_double, pair_BLS12381.cpp:40-78, b=4 M-type)."""
     X, Y, Z = A
     yz, x2, y2, z2 = TW.fp2_mul_many([(Y, Z), (X, X), (Y, Y), (Z, Z)])
     aa = TW.fp2_mul_xi(TW.fp2_neg(TW.fp2_add(yz, yz), 22), 26)
     bb = TW.fp2_sub(TW.fp2_mul_xi(TW.fp2_mul_small(z2, 12), 26), y2, 22)
     cc = TW.fp2_mul_small(x2, 3)
-    c0 = TW.fp2_mul_fp(aa, qy)
-    c5 = TW.fp2_mul_fp(cc, qx)
-    return (c0, bb, c5)
+    return (aa, bb, cc)
 
 
-def _line_add(A, Pxy, qx, qy):
-    """Line through A=(X1,Y1,Z1) and affine P=(X2,Y2) evaluated at (qx,qy).
-
+def _line_add_coeffs(A, Pxy):
+    """Chord-line w-coefficients through A=(X1,Y1,Z1) and affine P=(X2,Y2):
     l1 = X1 - Z1*X2 ; l2 = Y1 - Z1*Y2
-    AA = xi*l1 * qy ; BB = l2*X2 - l1*Y2 ; CC = -l2 * qx
-    (PAIR_add, pair_BLS12381.cpp:81-116, M-type).
-    """
+    AA = xi*l1 ; BB = l2*X2 - l1*Y2 ; CC = -l2
+    (PAIR_add, pair_BLS12381.cpp:81-116, M-type)."""
     X1, Y1, Z1 = A
     X2, Y2 = Pxy
     zx, zy = TW.fp2_mul_many([(Z1, X2), (Z1, Y2)])
@@ -104,9 +96,22 @@ def _line_add(A, Pxy, qx, qy):
     aa = TW.fp2_mul_xi(l1, 26)
     bb = TW.fp2_sub(m1, m2, 22)
     cc = TW.fp2_neg(l2, 26)
-    c0 = TW.fp2_mul_fp(aa, qy)
-    c5 = TW.fp2_mul_fp(cc, qx)
-    return (c0, bb, c5)
+    return (aa, bb, cc)
+
+
+def _eval_line(coeffs, qx, qy):
+    """(AA, BB, CC) w-coefficients -> sparse line value at G1 point (qx,qy):
+    (AA*qy, BB, CC*qx)."""
+    aa, bb, cc = coeffs
+    return (TW.fp2_mul_fp(aa, qy), bb, TW.fp2_mul_fp(cc, qx))
+
+
+def _line_dbl(A, qx, qy):
+    return _eval_line(_line_dbl_coeffs(A), qx, qy)
+
+
+def _line_add(A, Pxy, qx, qy):
+    return _eval_line(_line_add_coeffs(A, Pxy), qx, qy)
 
 
 def _mul_sparse(f, line):
@@ -432,6 +437,129 @@ def multi_miller_shared(p_affs, q_affs, inf=None):
 def multi_pairing(p_affs, q_affs):
     """e(P1,Q1) * e(P2,Q2) * ... over leading axis with one final exp."""
     return final_exp(multi_miller(p_affs, q_affs))
+
+
+# ---------------------------------------------------------------------------
+# Fixed-G2 line precomputation
+# ---------------------------------------------------------------------------
+# Every scheme verify pairs against fixed public-key G2 points (g2, X2, w,
+# ...): the Miller loop's per-step Fp2 point arithmetic (tangent/chord
+# coefficients + the G2 double/add updates) depends ONLY on Q, so for a
+# fixed Q it is computed once and reused across the whole batch — the
+# batched analogue of PAIR_precomp / PAIR_another_pc
+# (3rd-party/miracl-core/pair_BLS12381.cpp:181-423).
+
+
+def precompute_g2_lines(q_aff):
+    """Line-coefficient tables for a FIXED batch-free G2 operand Q.
+
+    q_aff: affine (X, Y) Fp2 arrays of shape (2, L).  Returns
+    (dbl_lines, add_lines): two (n_digits, 3, 2, L) arrays — per digit
+    step the tangent-line coefficients (AA, BB, CC), and for the 6
+    nonzero digits the chord-line coefficients aligned at the same step
+    index (zeros elsewhere; the Miller consumer selects by the static
+    digit schedule).  Cheap enough (~83 unrolled G2 steps, batch-free) to
+    live inside a verify jit graph: cost is B-independent."""
+    Px, Py = q_aff
+    NPy = TW.fp2_neg(Py)
+    A = (Px, Py, TW.fp2_one(Px.shape[:-2]))
+    digits = _digits()
+    dbl, add = [], []
+    zero3 = tuple(TW.fp2_zero(Px.shape[:-2]) for _ in range(3))
+    for d in digits:
+        dbl.append(_line_dbl_coeffs(A))
+        A = G2.double(A)
+        if d != 0:
+            pay = Py if d > 0 else NPy
+            add.append(_line_add_coeffs(A, (Px, pay)))
+            A = W.madd(G2.ops(), A, (Px, pay))
+        else:
+            add.append(zero3)
+
+    def stack(rows):
+        return jnp.stack([jnp.stack(r, 0) for r in rows], 0)
+
+    return stack(dbl), stack(add)
+
+
+def multi_miller_precomp(p_affs, lines, inf=None):
+    """Π_i Miller(P_i, Q_i) with ONE shared squaring chain where every Q_i
+    is FIXED (lines precomputed by precompute_g2_lines): per digit step
+    the accumulator squares once and absorbs each pair's precomputed line
+    evaluated at P_i — no G2 arithmetic at all in the loop.
+
+    p_affs: G1 affine (x, y), shape (k, batch..., L);
+    lines: list of k (dbl_lines, add_lines) precomp pairs;
+    inf: optional (k, batch) bool — flagged pairs contribute exactly 1.
+    """
+    qx, qy = p_affs
+    kk = qx.shape[0]
+    batch = qx.shape[1:-1]
+    if inf is not None:
+        from ..curves import g1 as G1C
+
+        g1g = G1C.generator(())
+        m1 = inf[..., None]
+        qx = jnp.where(m1, jnp.broadcast_to(g1g[0], qx.shape), qx)
+        qy = jnp.where(m1, jnp.broadcast_to(g1g[1], qy.shape), qy)
+
+    f0 = TW.fp12_one(batch)
+    digits = np.asarray(_digits(), np.int32)
+    dbls = jnp.stack([l[0] for l in lines], 1)   # (n_digits, k, 3, 2, L)
+    adds = jnp.stack([l[1] for l in lines], 1)
+
+    def mask_line(line, i):
+        if inf is None:
+            return line
+        c0, c3, c5 = line
+        m = inf[i][..., None, None]
+        one_b = jnp.broadcast_to(TW.fp2_one(inf.shape[1:]), c0.shape)
+        return (
+            jnp.where(m, one_b, c0),
+            jnp.where(m, jnp.zeros_like(c3), c3),
+            jnp.where(m, jnp.zeros_like(c5), c5),
+        )
+
+    def absorb(f, coeff_rows):
+        # coeff_rows: (k, 3, 2, L) — evaluate each pair's line at its P
+        for i in range(kk):
+            line = _eval_line(
+                tuple(coeff_rows[i, j] for j in range(3)), qx[i], qy[i]
+            )
+            f = _mul_sparse(f, mask_line(line, i))
+        return f
+
+    def step(f, d, drow, arow):
+        f = TW.fp12_sqr(f)
+        f = absorb(f, drow)
+        if isinstance(d, int):
+            if d != 0:
+                f = absorb(f, arow)
+            return f
+        return jax.lax.cond(d != 0, lambda ff: absorb(ff, arow),
+                            lambda ff: ff, f)
+
+    def group(f, xs):
+        dvec, dl, al = xs
+        for j in range(_UNROLL):
+            f = step(f, dvec[j], dl[j], al[j])
+        return f, None
+
+    ng = len(digits) // _UNROLL
+    f = f0
+    if ng:
+        cut = ng * _UNROLL
+        f, _ = jax.lax.scan(
+            group, f,
+            (
+                jnp.asarray(digits[:cut].reshape(ng, _UNROLL)),
+                dbls[:cut].reshape((ng, _UNROLL) + dbls.shape[1:]),
+                adds[:cut].reshape((ng, _UNROLL) + adds.shape[1:]),
+            ),
+        )
+    for j, d in enumerate(digits[ng * _UNROLL:]):
+        f = step(f, int(d), dbls[ng * _UNROLL + j], adds[ng * _UNROLL + j])
+    return TW.fp12_conj(f)
 
 
 # ---------------------------------------------------------------------------

@@ -131,16 +131,23 @@ def verify_batch(m: bytes, attr: list[bytes], I, presinfos, pk: PublicKey):
     J = [i for i in range(n) if i not in I]
     CI = g * product_([Y[i] ** a[i] for i in I])   # batch-constant
 
-    parsed = [parse(G1 ** 3, Zp ** 2, p.fixed_part) for p in presinfos]
-    A_ = BT.G1Vec.from_elements(p[0] for p in parsed)
-    B_ = BT.G1Vec.from_elements(p[1] for p in parsed)
-    U = BT.G1Vec.from_elements(p[2] for p in parsed)
-    s = BT.ZpVec.from_ints([p[3] for p in parsed])
-    t = BT.ZpVec.from_ints([p[4] for p in parsed])
+    import hashlib
+
+    from ..api.elements import ZpNumber
+
+    sig_b = [bytes(p.fixed_part) for p in presinfos]
+    A_ = BT.G1Vec.parse(b[:49] for b in sig_b)
+    B_ = BT.G1Vec.parse(b[49:98] for b in sig_b)
+    U = BT.G1Vec.parse(b[98:147] for b in sig_b)
+    s = BT.ZpVec.parse(b[147:195] for b in sig_b)
+    t = BT.ZpVec.parse(b[195:243] for b in sig_b)
     us = [[parse(Zp, b) for b in p.u] for p in presinfos]
-    cs = BT.ZpVec.from_ints(
-        [hash_(m, p[0], p[1], p[2]).to(Zp) for p in parsed]
-    )
+    # c = H(m, A, B, U): the serialized forms ARE the fixed_part slices
+    mb = m if isinstance(m, bytes) else bytes(m)
+    cs = BT.ZpVec.from_ints([
+        ZpNumber.from_hash(hashlib.sha3_512(mb + b[:147]).digest())
+        for b in sig_b
+    ])
 
     import jax.numpy as jnp
 
@@ -173,13 +180,16 @@ def _verify_device_jit():
 
         def f(Ap, Bp, Up, s, t, cs, umat, CIp, yj, tXp, tgp):
             B = s.shape[0]
-            A_, B_, U = BT.G1Vec(Ap), BT.G1Vec(Bp), BT.G1Vec(Up)
+            A_ = BT.G1Vec(Ap, z_is_one=True)
+            B_ = BT.G1Vec(Bp, z_is_one=True)
+            U = BT.G1Vec(Up, z_is_one=True)
 
             def b2(v):
                 return BT.G2Vec(v).broadcast_to((B,))
 
-            cond1 = BT.pair_prod(
-                (A_, b2(tXp)), (B_.inverse(), b2(tgp))
+            cond1 = BT.pair_prod_fixed(
+                (A_, BT.G2Vec(tXp, z_is_one=True)),
+                (B_.inverse(), BT.G2Vec(tgp, z_is_one=True)),
             ).is_one()
             lhs = U * (B_ ** BT.ZpVec(cs))
             rhs = BT.G1Vec(CIp).broadcast_to((B,)) ** BT.ZpVec(s)

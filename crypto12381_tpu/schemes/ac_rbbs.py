@@ -167,17 +167,24 @@ def verify_batch(m: bytes, attr: list[bytes], I, presinfos, pk: PublicKey):
     CI = g * product_([Y[i] ** a[i] for i in I])      # batch constants
     acc = product_([tY[i] ** q[i] for i in I])
 
-    parsed = [parse(G1 ** 5, Zp ** 2, p) for p in presinfos]
-    A_ = BT.G1Vec.from_elements(p[0] for p in parsed)
-    B_ = BT.G1Vec.from_elements(p[1] for p in parsed)
-    C_J_ = BT.G1Vec.from_elements(p[2] for p in parsed)
-    D_ = BT.G1Vec.from_elements(p[3] for p in parsed)
-    U = BT.G1Vec.from_elements(p[4] for p in parsed)
-    s = BT.ZpVec.from_ints([p[5] for p in parsed])
-    t = BT.ZpVec.from_ints([p[6] for p in parsed])
-    cs = BT.ZpVec.from_ints(
-        [hash_(m, p[0], p[1], p[2], p[3], p[4]).to(Zp) for p in parsed]
-    )
+    import hashlib
+
+    from ..api.elements import ZpNumber
+
+    sig_b = [bytes(p) for p in presinfos]
+    A_ = BT.G1Vec.parse(b[:49] for b in sig_b)
+    B_ = BT.G1Vec.parse(b[49:98] for b in sig_b)
+    C_J_ = BT.G1Vec.parse(b[98:147] for b in sig_b)
+    D_ = BT.G1Vec.parse(b[147:196] for b in sig_b)
+    U = BT.G1Vec.parse(b[196:245] for b in sig_b)
+    s = BT.ZpVec.parse(b[245:293] for b in sig_b)
+    t = BT.ZpVec.parse(b[293:341] for b in sig_b)
+    # c = H(m, A, B, C_J, D, U) over the raw fixed_part slices
+    mb = m if isinstance(m, bytes) else bytes(m)
+    cs = BT.ZpVec.from_ints([
+        ZpNumber.from_hash(hashlib.sha3_512(mb + b[:245]).digest())
+        for b in sig_b
+    ])
 
     ok = _verify_device_jit()(
         A_.p, B_.p, C_J_.p, D_.p, U.p, s.std, t.std, cs.std,
@@ -200,18 +207,19 @@ def _verify_device_jit():
 
         def f(Ap, Bp, CJp, Dp, Up, s, t, cs, CIp, accp, tXp, tgp):
             B = s.shape[0]
-            A_, B_ = BT.G1Vec(Ap), BT.G1Vec(Bp)
-            C_J_, D_, U = BT.G1Vec(CJp), BT.G1Vec(Dp), BT.G1Vec(Up)
-
-            def b2(v):
-                return BT.G2Vec(v).broadcast_to((B,))
-
-            tgv = b2(tgp)
-            cond1 = BT.pair_prod(
-                (A_, b2(tXp)), ((C_J_ * B_).inverse(), tgv)
+            A_ = BT.G1Vec(Ap, z_is_one=True)
+            B_ = BT.G1Vec(Bp, z_is_one=True)
+            C_J_ = BT.G1Vec(CJp, z_is_one=True)
+            D_ = BT.G1Vec(Dp, z_is_one=True)
+            U = BT.G1Vec(Up, z_is_one=True)
+            tg1 = BT.G2Vec(tgp, z_is_one=True)
+            cond1 = BT.pair_prod_fixed(
+                (A_, BT.G2Vec(tXp, z_is_one=True)),
+                ((C_J_ * B_).inverse(), tg1),
             ).is_one()
-            cond3 = BT.pair_prod(
-                (C_J_, b2(accp)), (D_.inverse(), tgv)
+            cond3 = BT.pair_prod_fixed(
+                (C_J_, BT.G2Vec(accp, z_is_one=True)),
+                (D_.inverse(), tg1),
             ).is_one()
             lhs2 = U * (B_ ** BT.ZpVec(cs))
             rhs2 = (

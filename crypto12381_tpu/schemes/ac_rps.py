@@ -189,16 +189,25 @@ def verify_batch(m: bytes, attr: list[bytes], I, presinfos, pk: PublicKey):
     tX_const = tX if prod_tY is None else tX * prod_tY
     CYq = product_([Y[i] ** q[i] for i in I])
 
-    parsed = [parse(G1 ** 3, G2, GT, Zp, p) for p in presinfos]
-    A_ = BT.G1Vec.from_elements(p[0] for p in parsed)
-    B_ = BT.G1Vec.from_elements(p[1] for p in parsed)
-    D_ = BT.G1Vec.from_elements(p[2] for p in parsed)
-    tCJ_ = BT.G2Vec.from_elements(p[3] for p in parsed)
-    U = BT.GTVec.from_elements(p[4] for p in parsed)
-    s = BT.ZpVec.from_ints([p[5] for p in parsed])
-    cs = BT.ZpVec.from_ints(
-        [hash_(m, p[0], p[1], p[3], p[2], p[4]).to(Zp) for p in parsed]
-    )
+    import hashlib
+
+    from ..api.elements import ZpNumber
+
+    sig_b = [bytes(p) for p in presinfos]
+    A_ = BT.G1Vec.parse(b[:49] for b in sig_b)
+    B_ = BT.G1Vec.parse(b[49:98] for b in sig_b)
+    D_ = BT.G1Vec.parse(b[98:147] for b in sig_b)
+    tCJ_ = BT.G2Vec.parse(b[147:244] for b in sig_b)
+    U = BT.GTVec.parse(b[244:820] for b in sig_b)
+    s = BT.ZpVec.parse(b[820:868] for b in sig_b)
+    # c = H(m, A, B, tCJ, D, U) over the raw presentation slices
+    mb = m if isinstance(m, bytes) else bytes(m)
+    cs = BT.ZpVec.from_ints([
+        ZpNumber.from_hash(hashlib.sha3_512(
+            mb + b[:98] + b[147:244] + b[98:147] + b[244:820]
+        ).digest())
+        for b in sig_b
+    ])
 
     ok = _verify_device_jit()(
         A_.p, B_.p, D_.p, tCJ_.p, U.f, s.std, cs.std,
@@ -221,8 +230,10 @@ def _verify_device_jit():
 
         def f(Ap, Bp, Dp, tCJp, Uf, s, cs, CYqp, tgp, tY0p, tXcp):
             B = s.shape[0]
-            A_, B_, D_ = BT.G1Vec(Ap), BT.G1Vec(Bp), BT.G1Vec(Dp)
-            tCJ_ = BT.G2Vec(tCJp)
+            A_ = BT.G1Vec(Ap, z_is_one=True)
+            B_ = BT.G1Vec(Bp, z_is_one=True)
+            D_ = BT.G1Vec(Dp, z_is_one=True)
+            tCJ_ = BT.G2Vec(tCJp, z_is_one=True)
             U = BT.GTVec(Uf)
 
             def b2(v):

@@ -94,10 +94,10 @@ def verify_batch(pp: PublicParameters, pk: bytes, messages, signatures):
 
     import jax.numpy as jnp
 
-    sigs = [parse(G1, Zp, Zp, s) for s in signatures]
-    A = BT.G1Vec.from_elements(s[0] for s in sigs)
-    xs = BT.ZpVec.from_ints([s[1] for s in sigs])
-    rs = BT.ZpVec.from_ints([s[2] for s in sigs])
+    sig_b = [bytes(s) for s in signatures]
+    A = BT.G1Vec.parse(s[:49] for s in sig_b)
+    xs = BT.ZpVec.parse(s[49:97] for s in sig_b)
+    rs = BT.ZpVec.parse(s[97:145] for s in sig_b)
     if n:
         mm = jnp.stack(
             [
@@ -133,20 +133,20 @@ def _verify_device_jit():
         from ..api import batch as BT
 
         def f(Ap, xs, rs, mm, g1p, h0p, g2p, wp, hp):
+            # same fixed-G2 re-association as bbs._verify_device_jit
             B = xs.shape[0]
-
-            def b2(v):
-                return BT.G2Vec(v).broadcast_to((B,))
-
-            h0 = BT.G1Vec(h0p).broadcast_to((B,))
-            base = BT.G1Vec(g1p).broadcast_to((B,)) * (h0 ** BT.ZpVec(rs))
+            h0 = BT.G1Vec(h0p, z_is_one=True).broadcast_to((B,))
+            base = BT.G1Vec(g1p, z_is_one=True).broadcast_to((B,)) \
+                * (h0 ** BT.ZpVec(rs))
             for i in range(mm.shape[0]):
-                hi = BT.G1Vec(tuple(c[i : i + 1] for c in hp))
+                hi = BT.G1Vec(tuple(c[i : i + 1] for c in hp),
+                              z_is_one=True)
                 base = base * (hi.broadcast_to((B,)) ** BT.ZpVec(mm[i]))
-            g2 = b2(g2p)
-            t = b2(wp) * (g2 ** BT.ZpVec(xs))
-            return BT.pair_prod(
-                (BT.G1Vec(Ap), t), (base.inverse(), g2)
+            A = BT.G1Vec(Ap, z_is_one=True)
+            t = (A ** BT.ZpVec(xs)) * base.inverse()
+            return BT.pair_prod_fixed(
+                (A, BT.G2Vec(wp, z_is_one=True)),
+                (t, BT.G2Vec(g2p, z_is_one=True)),
             ).is_one()
 
         _VERIFY_DEV = jax.jit(f)

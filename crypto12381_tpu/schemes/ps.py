@@ -18,7 +18,7 @@ from ..api.elements import G1Pow, ZpNumber
 
 __all__ = [
     "Keys", "KeysN", "As",
-    "key_gen", "key_gen_n", "sign", "sign_n", "verify", "verify_n",
+    "key_gen", "key_gen_n", "sign", "sign_batch", "sign_n", "verify", "verify_n",
     "verify_batch",
     "verify_n_batch", "randomnize",
 ]
@@ -45,6 +45,32 @@ def sign(sk: bytes, message: bytes, random) -> bytes:
     return serialize(h, h ** (x + y * m))
 
 
+def sign_batch(sk: bytes, messages, random) -> list:
+    """B signatures in ONE device graph — byte-identical to sign() called
+    B times with the same CSPRNG stream (the per-message draw order is
+    preserved on host; only the exponentiations move to the device).
+
+    s1 = g^u, s2 = g^(u (x + y m)): both are fixed-base powers of the
+    generator, so the whole batch is one (2B,)-row GLV ladder plus one
+    vectorized batch serialization (ref src/ps.cpp:17-24).
+    """
+    from ..api import batch as BT
+
+    x, y = parse(Zp ** 2, sk)
+    e1, e2 = [], []
+    for m in messages:
+        mm = hash_(_as_bytes(m)).to(Zp)
+        h = select_in(~G1, random)          # lazy gen^u: one draw, as sign()
+        u = h.exp
+        e1.append(u)
+        e2.append((x + y * mm) * u)
+    B = len(messages)
+    exps = BT.ZpVec.from_ints(e1 + e2)
+    pts = BT.G1Vec.generator((2 * B,)) ** exps
+    blobs = pts.serialize()
+    return [blobs[i] + blobs[B + i] for i in range(B)]
+
+
 def verify(pk: bytes, message: bytes, signature: bytes) -> bool:
     """ref src/ps.cpp:26-33: e(s1, X2 Y2^m) == e(s2, g2)."""
     g2, X2, Y2 = parse(G2 ** 3, pk)
@@ -63,11 +89,16 @@ def randomnize(signature: bytes, random) -> bytes:
 def verify_batch(pk: bytes, messages, signatures, mesh=None):
     """Device-batched verify of B signatures under one public key.
 
-    The whole batch is TWO batched Miller loops (e(s1ᵢ, X2·Y2^mᵢ) and
-    e(s2ᵢ⁻¹, g2)) sharing ONE batched final exponentiation — the reference
-    materializes each side separately per signature (src/ps.cpp:26-33).
-    With `mesh` (a jax.sharding.Mesh) the batch shards across the mesh and
-    every device runs its shard's full verify path
+    The pairing equation is re-associated by bilinearity so every G2
+    operand is FIXED:  e(s1, X2 Y2^m) == e(s2, g2)  becomes
+    e(s1, X2) e(s1^m, Y2) e(s2^-1, g2) == 1 — three pairings against
+    fixed public-key points sharing ONE Miller squaring chain with
+    precomputed line coefficients (no per-element G2 arithmetic at all;
+    the scalar moves to a cheaper G1 GLV ladder).  Host edges are
+    vectorized: signature bytes cross as (B, 49) arrays and y-coordinate
+    decompression is one batched device sqrt chain (api/batch.G1Vec.parse).
+    The reference materializes each side separately per signature
+    (src/ps.cpp:26-33).  With `mesh` the batch shards across the mesh
     (parallel.sharding.sharded_ps_verify).  Returns a (B,) bool array.
     """
     import numpy as np
@@ -78,9 +109,8 @@ def verify_batch(pk: bytes, messages, signatures, mesh=None):
     assert len(signatures) == B
     g2e, X2e, Y2e = parse(G2 ** 3, pk)
     ms = BT.ZpVec.from_ints([hash_(_as_bytes(m)).to(Zp) for m in messages])
-    sigs = [parse(G1 ** 2, s) for s in signatures]
-    s1 = BT.G1Vec.from_elements(s[0] for s in sigs)
-    s2 = BT.G1Vec.from_elements(s[1] for s in sigs)
+    s1 = BT.G1Vec.parse(bytes(s)[:49] for s in signatures)
+    s2 = BT.G1Vec.parse(bytes(s)[49:98] for s in signatures)
     if mesh is not None:
         from ..parallel import sharding as SH
 
@@ -103,14 +133,13 @@ def _verify_device_jit():
         from ..api import batch as BT
 
         def f(s1p, s2p, X2p, Y2p, g2p, ms):
-            B = ms.shape[0]
-
-            def b(v):
-                return BT.G2Vec(v).broadcast_to((B,))
-
-            t = b(X2p) * (b(Y2p) ** BT.ZpVec(ms))
-            return BT.pair_prod(
-                (BT.G1Vec(s1p), t), (BT.G1Vec(s2p).inverse(), b(g2p))
+            s1 = BT.G1Vec(s1p, z_is_one=True)
+            s2 = BT.G1Vec(s2p, z_is_one=True)
+            s1m = s1 ** BT.ZpVec(ms)
+            return BT.pair_prod_fixed(
+                (s1, BT.G2Vec(X2p, z_is_one=True)),
+                (s1m, BT.G2Vec(Y2p, z_is_one=True)),
+                (s2.inverse(), BT.G2Vec(g2p, z_is_one=True)),
             ).is_one()
 
         _VERIFY_DEV = jax.jit(f)
