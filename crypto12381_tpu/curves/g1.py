@@ -177,7 +177,11 @@ def in_subgroup(p):
     o = ops()
     xp = W.mul_const_chain(o, p, X_ABS)
     low = W.eq(o, xp, p)
-    t = W.negate(o, W.mul_const_chain(o, xp, X_ABS))     # [-x^2]P
+    # our GLV beta (curves/endo.py) is the cube root with eigenvalue
+    # lambda = x^2 - 1 (the reference's CRu pairs with -x^2; both are
+    # roots of z^2 + z + 1 mod r): phi(P) == [x^2]P - P
+    x2p = W.mul_const_chain(o, xp, X_ABS)
+    t = W.add(o, x2p, W.negate(o, p))                    # [x^2 - 1]P
     w = endo.phi_g1(p)
     member = jnp.logical_and(W.eq(o, w, t), jnp.logical_not(low))
     member = jnp.logical_and(member, on_curve(p))

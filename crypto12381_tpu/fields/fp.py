@@ -459,6 +459,17 @@ def sqrt(ctx: FieldCtx, x: jnp.ndarray) -> jnp.ndarray:
     return pow_fixed(ctx, x, (ctx.params.modulus + 1) // 4)
 
 
+def invsqrt(ctx: FieldCtx, x: jnp.ndarray):
+    """(inverse, sqrt-candidate) via one shared progenitor chain
+    t = x^((p-3)/4): sqrt = x*t, inv = t^4*x (ref FP_invsqrt,
+    fp_BLS12381.cpp:674-900)."""
+    assert ctx.params.modulus % 4 == 3
+    t = pow_fixed(ctx, x, (ctx.params.modulus - 3) // 4)
+    s = mont_mul(ctx, t, x)
+    inv_ = mont_mul(ctx, mont_sqr(ctx, mont_sqr(ctx, t)), x)
+    return inv_, s
+
+
 def is_qr(ctx: FieldCtx, x: jnp.ndarray) -> jnp.ndarray:
     """Euler criterion; True for 0."""
     t = pow_fixed(ctx, x, (ctx.params.modulus - 1) // 2)

@@ -555,24 +555,52 @@ def cond_sub(ctx: FieldCtx8, x: jnp.ndarray, m_limbs: np.ndarray) -> jnp.ndarray
 # digits equality of VALUES is equality of DIGITS, so group-law edge-case
 # detection (x1 == x2, y1 == -y2) in the sorted-MSM batched-affine pass is
 # a free integer compare instead of a reduce_full round-trip.
+#
+# CRITICAL invariant subtlety: carry_rounds with a FIXED round count can
+# leave a digit at exactly 256 when a carry ripples into a run of
+# 255-digits (the run absorbs one position per round).  Such a
+# digits-in-[0,256] array is value-correct but NOT canonical — it breaks
+# digit-equality compares, borrow_sub (whose generate/propagate algebra
+# assumes digits < 256, so a wrong borrow adds 2^400 == ~2^19 p to the
+# value) and byte serialization.  exact_carry below finishes the job with
+# a Kogge-Stone carry prefix, which handles arbitrarily long ripples in
+# log2(L) steps.
 # ---------------------------------------------------------------------------
+
+
+def exact_carry(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact canonical digit normalization of NONNEGATIVE integer-valued
+    digits < 512: one quotient round + a Kogge-Stone carry prefix ->
+    digits in [0, 255] (value preserved mod 2^(8 L))."""
+    d = x.astype(jnp.int32)
+    q = jnp.right_shift(d, 8)
+    rem = jnp.bitwise_and(d, 255)
+    s = rem + _shift_up(q)
+    g = (s >= 256).astype(jnp.int32)
+    p = (s == 255).astype(jnp.int32)
+    n = s.shape[-1]
+    shift = 1
+    while shift < n:
+        g = jnp.bitwise_or(g, jnp.bitwise_and(p, _shift_up(g, shift)))
+        p = jnp.bitwise_and(p, _shift_up(p, shift))
+        shift *= 2
+    out = s + _shift_up(g)
+    out = jnp.where(out >= 256, out - 256, out)
+    return out.astype(jnp.float32)
 
 
 def canon_sub(ctx: FieldCtx8, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """(a - b) mod p for canonical a, b -> canonical digits."""
     d, borrow = borrow_sub(a, b)
     # borrow: d holds a - b + 2^(8L); adding p and dropping the top carry
-    # (carry_rounds keeps width L) yields a - b + p exactly.
-    dp = carry_rounds(d + jnp.asarray(ctx.p_limbs), 2)
+    # (exact_carry keeps width L) yields a - b + p exactly.
+    dp = exact_carry(d + jnp.asarray(ctx.p_limbs))
     return jnp.where((borrow != 0)[..., None], dp, d)
 
 
 def canon_add(ctx: FieldCtx8, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """(a + b) mod p for canonical a, b -> canonical digits."""
-    s = carry_rounds(
-        jnp.concatenate([a + b, jnp.zeros_like(a[..., :1])], -1), 2
-    )[..., : ctx.L]
-    return cond_sub(ctx, s, ctx.p_limbs)
+    return cond_sub(ctx, exact_carry(a + b), ctx.p_limbs)
 
 
 def canon_neg(ctx: FieldCtx8, a: jnp.ndarray) -> jnp.ndarray:
@@ -605,12 +633,18 @@ def _mont_mul_small(ctx: FieldCtx8, an: jnp.ndarray, c_limbs: np.ndarray) -> jnp
 
 def _canon(ctx: FieldCtx8, t: jnp.ndarray) -> jnp.ndarray:
     """Digits with value in (-p, 2p) -> canonical [0, p): add p (covers the
-    epsilon-negative case) then two conditional subtractions."""
-    t = carry_rounds(
-        jnp.concatenate(
-            [t + jnp.asarray(ctx.p_limbs), jnp.zeros_like(t[..., :2])], -1
-        )
-    )[..., : ctx.L]
+    epsilon-negative case) then two conditional subtractions.
+
+    The digit normalization must be EXACT (fixed-round carry_rounds can
+    leave a 256 digit behind a 255-run — see exact_carry): the positive
+    part normalizes through the Kogge-Stone carry prefix and the isolated
+    -1 digits (mont outputs) subtract out through the exact borrow pass.
+    """
+    d = (t + jnp.asarray(ctx.p_limbs)).astype(jnp.int32)
+    pos = jnp.maximum(d, 0)                    # digits <= 511
+    neg = jnp.maximum(-d, 0).astype(jnp.float32)   # digits in {0, 1}
+    a = exact_carry(pos.astype(jnp.float32))
+    t, _ = borrow_sub(a, neg)                  # value(t + p) > 0: no borrow
     t = cond_sub(ctx, t, ctx.p_limbs)
     return cond_sub(ctx, t, ctx.p_limbs)
 
@@ -712,6 +746,21 @@ def sqrt(ctx: FieldCtx8, x: jnp.ndarray) -> jnp.ndarray:
 def is_qr(ctx: FieldCtx8, x: jnp.ndarray) -> jnp.ndarray:
     t = pow_fixed(ctx, x, (ctx.params.modulus - 1) // 2)
     return jnp.logical_or(eq(ctx, t, one(ctx, x.shape[:-1])), is_zero(ctx, x))
+
+
+def invsqrt(ctx: FieldCtx8, x: jnp.ndarray):
+    """(inverse, sqrt-candidate) from ONE shared progenitor power chain
+    (the reference's FP_invsqrt, fp_BLS12381.cpp:674-900): for p = 3 mod 4
+    t = x^((p-3)/4) gives sqrt = x*t and inv = t^4 * x — one ~380-step
+    Fermat ladder where sqrt() + inv() would pay two.  The sqrt output is
+    a root only when x is a QR (callers verify by squaring, as with
+    sqrt())."""
+    assert ctx.params.modulus % 4 == 3
+    t = pow_fixed(ctx, x, (ctx.params.modulus - 3) // 4)
+    xn = normalize(ctx, x)
+    s = mont_mul(ctx, t, xn)
+    inv_ = mont_mul(ctx, mont_sqr(ctx, mont_sqr(ctx, t)), xn)
+    return inv_, s
 
 
 # ---------------------------------------------------------------------------

@@ -74,10 +74,11 @@ def map2point(u):
     D3 = _m(Dsq, D)
     gx1 = FP.add(CTX, gx1, _mc(D3, "B", cs))
     w3 = _m(gx1, D)
-    # s1 = w3^((p+1)/4); QR test via verification (avoids a second pow)
-    s1 = FP.sqrt(CTX, w3)
+    # ONE shared progenitor chain gives both the sqrt candidate and the
+    # inverse (ref FP_invsqrt fp_BLS12381.cpp:674-900 — VERDICT r3
+    # missing #3); the QR test is verification by squaring.
+    w3_inv, s1 = FP.invsqrt(CTX, w3)
     qr = FP.eq(CTX, _m(s1, s1), w3)
-    w3_inv = FP.inv(CTX, w3)
     Dinv = _m(w3_inv, gx1)                                     # 1/D
     x_qr = _m(X2, Dinv)
     x_nqr = _m(X3, Dinv)

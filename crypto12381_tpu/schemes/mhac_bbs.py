@@ -355,13 +355,13 @@ def verify_pres_batch(pp, pk: bytes, ptype: PresType, Prv, public_attributes,
     prvb = np.frombuffer(
         b"".join(v.serialize() for v in pub_rev), np.uint8
     ).reshape(1, -1) if pub_rev else np.zeros((1, 0), np.uint8)
-    ok = _verify_device_jit()(
+    ok_pair, elem = _verify_device_jit()(
         A_.p, B_.p, ch.std, zr.std, ze.std, zmat, zhmat,
         BT.G1Vec.from_elements([C_reve]).p, hprv, hhp,
         BT.G2Vec.from_elements([g2e]).p,
         BT.G2Vec.from_elements([we]).p,
-        jnp.asarray(prvb),
     )
+    ok = _fs_check_jit()(elem, jnp.asarray(prvb), ch.std, ok_pair)
     return np.asarray(ok)
 
 
@@ -377,10 +377,8 @@ def _verify_device_jit():
         import jax.numpy as jnp
 
         from ..api import batch as BT
-        from ..hashing import keccak as KC
 
-        def f(Ap, Bp, ch, zr, ze, zmat, zhmat, crp, hprv, hhp, g2p, wp,
-              prvb):
+        def f(Ap, Bp, ch, zr, ze, zmat, zhmat, crp, hprv, hhp, g2p, wp):
             B = ch.shape[0]
             A_ = BT.G1Vec(Ap, z_is_one=True)
             B_ = BT.G1Vec(Bp, z_is_one=True)
@@ -401,17 +399,43 @@ def _verify_device_jit():
                 (B_.inverse(), BT.G2Vec(g2p, z_is_one=True)),
             ).is_one()
             elem = jnp.concatenate(
-                [BT.g1_bytes(U), BT.g1_bytes(A_), BT.g1_bytes(B_),
-                 jnp.broadcast_to(prvb, (B, prvb.shape[1]))], -1
+                [BT.g1_bytes(U), BT.g1_bytes(A_), BT.g1_bytes(B_)], -1
             )
-            blocks, nrow = KC.frame_device(
-                elem, jnp.full((B,), elem.shape[1], jnp.int32)
-            )
-            want = BT.hash_to_zp(KC.sha3_512_blocks(blocks, nrow))
-            return jnp.logical_and(ok, jnp.all(ch == want.std, -1))
+            return ok, elem
 
         _VERIFY_DEV = jax.jit(f)
     return _VERIFY_DEV
 
 
 _VERIFY_DEV = None
+
+
+def _fs_check_jit():
+    """Second jit (kept apart from the pairing graph: the merged graph
+    crashed the CPU backend's compiler): device SHA3-512 of the
+    fixed-length transcript U || A || B || revealed-attrs, challenge
+    compare, AND with the pairing condition."""
+    global _FS_DEV
+    if _FS_DEV is None:
+        import jax
+        import jax.numpy as jnp
+
+        from ..api import batch as BT
+        from ..hashing import keccak as KC
+
+        def f(elem, prvb, ch, ok_pair):
+            B = elem.shape[0]
+            data = jnp.concatenate(
+                [elem, jnp.broadcast_to(prvb, (B, prvb.shape[1]))], -1
+            )
+            blocks, nrow = KC.frame_device(
+                data, jnp.full((B,), data.shape[1], jnp.int32)
+            )
+            want = BT.hash_to_zp(KC.sha3_512_blocks(blocks, nrow))
+            return jnp.logical_and(ok_pair, jnp.all(ch == want.std, -1))
+
+        _FS_DEV = jax.jit(f)
+    return _FS_DEV
+
+
+_FS_DEV = None

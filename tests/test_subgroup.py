@@ -60,7 +60,8 @@ def test_g2_in_subgroup_endo():
     bad = [_off_subgroup_g2()]
     pts = good + bad
     Qd = G2.from_affine_fp2(
-        [p[0] for p in pts], [p[1] for p in pts]
+        ([p[0][0] for p in pts], [p[0][1] for p in pts]),
+        ([p[1][0] for p in pts], [p[1][1] for p in pts]),
     )
     got = np.asarray(jax.jit(G2.in_subgroup)(Qd))
     assert (got == np.asarray([True, True, False])).all()

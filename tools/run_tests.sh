@@ -30,6 +30,11 @@ run_group tests/test_fused.py tests/test_msm.py tests/test_pairing.py \
 # group 3: schemes, golden vectors, hashing, tower
 run_group tests/test_schemes.py tests/test_scheme_vectors.py \
           tests/test_sswu.py tests/test_tower.py tests/test_vectors_pyref.py
+# group 3b: round-4 additions — sorted MSM, batch codecs, device hashing,
+# pairing precomp, subgroup checks, batched signing
+run_group tests/test_msm_sorted.py tests/test_batchcodec.py \
+          tests/test_keccak.py tests/test_devhash.py tests/test_subgroup.py
+run_group tests/test_pairing_precomp.py tests/test_sign_batch.py
 # group 4: the device batch paths — heaviest pairing graphs; even this
 # one file exceeds a single process's compile-memory budget, so every
 # test gets a fresh process.
