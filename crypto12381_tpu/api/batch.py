@@ -469,11 +469,20 @@ class G1Vec(_PointVec):
         Large batches route to the sorted batched-affine kernel
         (msm/sorted.py, fp32 engine); small ones and the int16 engine use
         the generic scan Pippenger."""
+        import os
+
         n = self.p[0].shape[0]
-        if FPA.ENGINE == "fp32" and n >= 2048:
+        if (FPA.ENGINE == "fp32" and n >= 2048
+                and os.environ.get("CRYPTO12381_MSM") == "sorted"):
+            import jax.core
+
             from ..msm import sorted as MSORT
 
             cs = c if c is not None else max(6, min(16, n.bit_length() - 5))
+            if not isinstance(self.p[0], jax.core.Tracer):
+                return G1Vec(
+                    MSORT.msm_g1_sorted_staged(self.p, scalars.std, c=cs)
+                )
             return G1Vec(MSORT.msm_g1_sorted(self.p, scalars.std, c=cs))
         lanes = min(lanes, 1 << max(0, (n - 1).bit_length() - 1)) or 1
         return G1Vec(MSM.msm_g1(self.p, scalars.std, c=c or 8, lanes=lanes))

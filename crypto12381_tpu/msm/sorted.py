@@ -48,6 +48,8 @@ fp32-engine only (the canonical-digit tricks are limb-scheme specific);
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -172,33 +174,44 @@ def _pair_gather(k: jnp.ndarray, m_next: int):
     return src, src1, ka, merge
 
 
-def _affine_pass(k, x, y, m_next):
-    """Pass 1: batched-affine pair merge on canonical affine coordinates.
-
-    Returns compacted (k', (X, Y, Z)) survivors (projective, loose digits;
-    identity encoded as (0, 1, 0)).  5M + 2S per attempted add plus one
-    block inversion (~3M amortized)."""
-    n = k.shape[0]
+def _pass1_gather(k, x, y, m_next):
+    """Shared pass-1 front: pair gathers + canonical edge detection."""
     src, src1, ka, merge = _pair_gather(k, m_next)
     xp, yp = _pad_rows(x, 0.0), _pad_rows(y, 0.0)
     xa, ya = xp[src], yp[src]
     xb, yb = xp[src1], yp[src1]
-
     # canonical-digit edge detection (free integer compares)
     xeq = F8.canon_eq(xa, xb)
     s_ab = F8.canon_add(CTX, ya, yb)          # == 2*y1 in the doubling case
     yopp = F8.canon_is_zero(s_ab)
     d_ab = F8.canon_sub(CTX, xb, xa)
     den = jnp.where(xeq[..., None], s_ab, d_ab)
-    x2 = F8.mont_sqr(CTX, xa)
-    num = jnp.where(
-        xeq[..., None], F8.mul_small(CTX, x2, 3), F8.canon_sub(CTX, yb, ya)
-    )
     # den == 0  <=>  xeq and yopp (x1 != x2 gives d_ab != 0 by definition;
     # 2y == 0 is impossible on y^2 = x^3 + 4: no order-2 points)
     inf_out = jnp.logical_and(xeq, yopp)
     den_safe = jnp.where(inf_out[..., None], F8.one(CTX, (m_next,)), den)
-    dinv = block_batch_inv(den_safe, zeros=jnp.zeros((m_next,), bool))
+    return dict(ka=ka, merge=merge, xa=xa, ya=ya, xb=xb, yb=yb, xeq=xeq,
+                inf_out=inf_out, den=den_safe)
+
+
+def _pass1_den(k, x, y, m_next):
+    """Pass-1 denominators only (no field multiplies — safe to batch over
+    all windows in one graph and invert separately)."""
+    return _pass1_gather(k, x, y, m_next)["den"]
+
+
+def _pass1_apply(k, x, y, dinv, m_next):
+    """Pass 1 with a PRECOMPUTED denominator inverse: batched-affine pair
+    merge on canonical affine coordinates.  Returns compacted
+    (k', (X, Y, Z)) survivors (projective, loose digits; identity encoded
+    as (0, 1, 0)).  5M + 2S per attempted add."""
+    g = _pass1_gather(k, x, y, m_next)
+    ka, merge, xeq, inf_out = g["ka"], g["merge"], g["xeq"], g["inf_out"]
+    xa, ya, xb, yb = g["xa"], g["ya"], g["xb"], g["yb"]
+    x2 = F8.mont_sqr(CTX, xa)
+    num = jnp.where(
+        xeq[..., None], F8.mul_small(CTX, x2, 3), F8.canon_sub(CTX, yb, ya)
+    )
     lam = F8.mont_mul(CTX, num, dinv)
     lam2 = F8.mont_sqr(CTX, lam)
     x3 = lam2 - xa - xb
@@ -213,6 +226,17 @@ def _affine_pass(k, x, y, m_next):
     Y = jnp.where(i1, one, jnp.where(m1, y3, ya))
     Z = jnp.where(i1, zero, jnp.where(live, one, zero))
     return ka, (X, Y, Z)
+
+
+def _affine_pass(k, x, y, m_next):
+    """Single-graph pass 1 (inversion inline).  Used by the traceable
+    msm_g1_sorted; the staged top-level entry precomputes the inverses in
+    a separate quiet jit instead (see msm_g1_sorted_staged: lax.scan
+    bodies carrying Pallas kernel calls go nondeterministic on the
+    axon-tunneled v5e when the surrounding graph is large)."""
+    g = _pass1_gather(k, x, y, m_next)
+    dinv = block_batch_inv(g["den"], zeros=jnp.zeros((m_next,), bool))
+    return _pass1_apply(k, x, y, dinv, m_next)
 
 
 def _rcb_pass(ops, k, P, m_next):
@@ -237,18 +261,10 @@ def _any_mergeable(k: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def msm_g1_sorted(points, scalars_std, c: int = 16):
-    """sum_i scalars[i] * points[i] over G1 (fp32 engine).
-
-    points: projective (X, Y, Z) of (n, L) f32 arrays; scalars_std:
-    (n, 18) int32 standard-domain Fr limbs.  Returns one projective point.
-    """
+def _prep(points, scalars_std, c: int):
+    """Front end: force-affine + canonicalize + signed window digits."""
     ops = G1.ops()
-    e_ndim = ops.elem_ndim
-    K = -(-258 // c)
-    nbuck = (1 << (c - 1)) + 1
     gen = MSM._gen_affine_g1()
-
     x, y, scalars_std = MSM.force_affine(ops, points, scalars_std, gen)
     n = x.shape[0]
     pad = (-n) % 2
@@ -260,41 +276,53 @@ def msm_g1_sorted(points, scalars_std, c: int = 16):
             [scalars_std,
              jnp.zeros((pad,) + scalars_std.shape[1:], scalars_std.dtype)], 0
         )
-        n += pad
-    # canonical affine digits: free equality compares in pass 1
+    # canonical affine digits: free equality compares in pass 1.  The
+    # three coordinate tables are PACKED as one (n, 3, L) uint8 array:
+    # canonical digits fit a byte, and the per-window sorted gathers are
+    # gather-bandwidth-bound — packing cuts their traffic 4x (and one
+    # fused gather replaces three).
     xc = F8.reduce_full(CTX, x)
     yc = F8.reduce_full(CTX, y)
     yn = F8.canon_neg(CTX, yc)
-
+    tab = jnp.stack([xc, yc, yn], 1).astype(jnp.uint8)   # (n, 3, L)
     digits = MSM.signed_window_digits(scalars_std, c)    # (n, K)
-    sizes = pass_sizes(n, nbuck)
+    return tab, digits
 
-    def window(carry, dk):
-        keys = jnp.abs(dk)
-        _, sidx = jax.lax.sort_key_val(keys, jnp.arange(n, dtype=jnp.int32))
-        skeys = keys[sidx]
-        xs = xc[sidx]
-        ys = jnp.where((dk[sidx] < 0)[..., None], yn[sidx], yc[sidx])
 
-        k, P = _affine_pass(skeys, xs, ys, sizes[0])
-        for m_next in sizes[1:]:
-            if m_next < k.shape[0]:
-                k, P = _rcb_pass(ops, k, P, m_next)
-            else:
-                k, P = jax.lax.cond(
-                    _any_mergeable(k),
-                    lambda a, mn=m_next: _rcb_pass(ops, a[0], a[1], mn),
-                    lambda a: a,
-                    (k, P),
-                )
-        # unique keys -> collision-free dense scatter (bucket 0 carries
-        # weight 0 in the collapse; sentinel keys drop out of range)
-        grid = MSM._stack(W.identity(ops, (nbuck,)), e_ndim)
-        grid = grid.at[k].set(MSM._stack(P, e_ndim), mode="drop")
-        return carry, grid
+def _sort_window(dk, tab):
+    n = dk.shape[0]
+    keys = jnp.abs(dk)
+    _, sidx = jax.lax.sort_key_val(keys, jnp.arange(n, dtype=jnp.int32))
+    skeys = keys[sidx]
+    g = tab[sidx].astype(jnp.float32)                    # (n, 3, L): one gather
+    xs = g[:, 0]
+    ys = jnp.where((dk[sidx] < 0)[..., None], g[:, 2], g[:, 1])
+    return skeys, xs, ys
 
-    _, grids = jax.lax.scan(window, 0, jnp.moveaxis(digits, 1, 0))
 
+def _merge_and_grid(ops, k, P, sizes, nbuck):
+    """Passes 2+ and the dense bucket scatter."""
+    e_ndim = ops.elem_ndim
+    for m_next in sizes[1:]:
+        if m_next < k.shape[0]:
+            k, P = _rcb_pass(ops, k, P, m_next)
+        else:
+            k, P = jax.lax.cond(
+                _any_mergeable(k),
+                lambda a, mn=m_next: _rcb_pass(ops, a[0], a[1], mn),
+                lambda a: a,
+                (k, P),
+            )
+    # unique keys -> collision-free dense scatter (bucket 0 carries
+    # weight 0 in the collapse; sentinel keys drop out of range)
+    grid = MSM._stack(W.identity(ops, (nbuck,)), e_ndim)
+    return grid.at[k].set(MSM._stack(P, e_ndim), mode="drop")
+
+
+def _finish(grids, c: int, K: int, nbuck: int):
+    """Bucket collapse over all windows + Horner window combine."""
+    ops = G1.ops()
+    e_ndim = ops.elem_ndim
     S = MSM._stack(
         MSM._collapse_buckets(ops, grids, nbuck, K, e_ndim), e_ndim
     )
@@ -309,3 +337,105 @@ def msm_g1_sorted(points, scalars_std, c: int = 16):
         horner, W.identity(ops, ()), jnp.arange(K - 1, -1, -1)
     )
     return acc
+
+
+def msm_g1_sorted(points, scalars_std, c: int = 16):
+    """sum_i scalars[i] * points[i] over G1 (fp32 engine) as ONE traceable
+    graph (usable inside other jits; the per-window block inversions run
+    inline).  For large standalone MSMs prefer msm_g1_sorted_staged.
+
+    points: projective (X, Y, Z) of (n, L) f32 arrays; scalars_std:
+    (n, 18) int32 standard-domain Fr limbs.  Returns one projective point.
+    """
+    ops = G1.ops()
+    K = -(-258 // c)
+    nbuck = (1 << (c - 1)) + 1
+    tab, digits = _prep(points, scalars_std, c)
+    n = tab.shape[0]
+    sizes = pass_sizes(n, nbuck)
+
+    def window(carry, dk):
+        skeys, xs, ys = _sort_window(dk, tab)
+        k, P = _affine_pass(skeys, xs, ys, sizes[0])
+        return carry, _merge_and_grid(ops, k, P, sizes, nbuck)
+
+    _, grids = jax.lax.scan(window, 0, jnp.moveaxis(digits, 1, 0))
+    return _finish(grids, c, K, nbuck)
+
+
+# ---------------------------------------------------------------------------
+# Staged execution: the single-chip large-N entry point.
+#
+# On the axon-tunneled v5e, lax.scan bodies that carry Pallas kernel calls
+# (the Montgomery block-inversion chains and the Fermat power ladder)
+# produce NONDETERMINISTIC results when the surrounding compiled graph is
+# large (reproduced at n = 2^20; deterministic standalone at every size).
+# The staged pipeline therefore isolates every scan-carried-Pallas
+# construct into its own small jit:
+#   stage 1  front end (force_affine's inversion runs here, quiet);
+#   stage 2  per-window sort + pass-1 denominators (NO field multiplies);
+#   stage 3  ONE Montgomery block inversion over all windows' denominators
+#            (one Fermat chain total — also a perf win over per-window
+#            inversion);
+#   stage 4  pass 1 with precomputed inverses + merge passes + scatter
+#            (plain batched kernels only inside the window scan);
+#   stage 5  collapse + Horner.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _staged_jits(c: int, n: int):
+    import jax as _jax
+
+    ops = G1.ops()
+    K = -(-258 // c)
+    nbuck = (1 << (c - 1)) + 1
+    sizes = pass_sizes(n + (n % 2), nbuck)
+    m1 = sizes[0]
+
+    @_jax.jit
+    def j_front(points, scalars_std):
+        return _prep(points, scalars_std, c)
+
+    @_jax.jit
+    def j_dens(tab, digits):
+        def window(carry, dk):
+            skeys, xs, ys = _sort_window(dk, tab)
+            return carry, (skeys, _pass1_den(skeys, xs, ys, m1))
+
+        _, (skeys, dens) = _jax.lax.scan(
+            window, 0, jnp.moveaxis(digits, 1, 0)
+        )
+        return skeys, dens
+
+    @_jax.jit
+    def j_inv(dens):
+        flat = dens.reshape(-1, L)
+        out = block_batch_inv(flat, zeros=jnp.zeros(flat.shape[0], bool))
+        return out.reshape(dens.shape)
+
+    @_jax.jit
+    def j_rest(tab, digits, dinvs):
+        def window(carry, xs_in):
+            dk, dinv = xs_in
+            skeys, xs, ys = _sort_window(dk, tab)
+            k, P = _pass1_apply(skeys, xs, ys, dinv, m1)
+            return carry, _merge_and_grid(ops, k, P, sizes, nbuck)
+
+        _, grids = _jax.lax.scan(
+            window, 0, (jnp.moveaxis(digits, 1, 0), dinvs)
+        )
+        return _finish(grids, c, K, nbuck)
+
+    return j_front, j_dens, j_inv, j_rest
+
+
+def msm_g1_sorted_staged(points, scalars_std, c: int = 16):
+    """Staged large-N MSM: five jit dispatches (see module comment above);
+    concrete (non-traced) inputs only."""
+    n = points[0].shape[0]
+    j_front, j_dens, j_inv, j_rest = _staged_jits(c, n)
+    tab, digits = j_front(points, scalars_std)
+    _, dens = j_dens(tab, digits)
+    dinvs = j_inv(dens)
+    return j_rest(tab, digits, dinvs)

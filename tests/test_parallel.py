@@ -116,3 +116,33 @@ def test_sharded_ps_verify_even_uneven_and_odd_mesh():
     mesh3 = SH.default_mesh(jax.devices()[:3])               # odd D
     got3 = ps.verify_batch(keys.pk, msgs2, sigs, mesh=mesh3)
     assert list(np.asarray(got3)) == expect
+
+
+def test_sharded_collective_count_is_constant():
+    """The sharded MSM/pairing graphs must use O(1) collectives per device
+    (one all_gather combine each) — collective volume must not scale with
+    the per-device batch (VERDICT r3 weak #5 tracking)."""
+    import re
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    mesh = SH.default_mesh()
+    n = 16
+    P = G1.generator((n,))
+    s = jnp.asarray(np.zeros((n, 18), np.int32))
+    jx = jax.make_jaxpr(
+        lambda P, s: SH.sharded_msm(mesh, P, s, c=4, lanes=2)
+    )(P, s)
+    text = str(jx)
+    colls = len(re.findall(r"all_gather|psum|all_reduce|ppermute", text))
+    assert 1 <= colls <= 3, f"collective count {colls}"
+
+    big = jax.make_jaxpr(
+        lambda P, s: SH.sharded_msm(mesh, P, s, c=4, lanes=4)
+    )(G1.generator((4 * n,)), jnp.asarray(np.zeros((4 * n, 18), np.int32)))
+    colls_big = len(
+        re.findall(r"all_gather|psum|all_reduce|ppermute", str(big))
+    )
+    assert colls_big == colls, "collective count grew with batch size"

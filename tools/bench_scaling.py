@@ -43,7 +43,6 @@ def _sync(x):
 
 def bench_msm(per_dev_n: int, mesh_sizes=(1, 2, 4, 8)):
     import jax.numpy as jnp
-    from jax.sharding import Mesh
 
     from crypto12381_tpu.curves import g1 as G1
     from crypto12381_tpu.parallel import sharding as SH
@@ -52,12 +51,12 @@ def bench_msm(per_dev_n: int, mesh_sizes=(1, 2, 4, 8)):
     out = {}
     for d in mesh_sizes:
         n = per_dev_n * d
-        mesh = Mesh(np.array(jax.devices()[:d]), ("dp",))
+        mesh = SH.default_mesh(jax.devices()[:d])
         base = G1.generator((n,))
         scal = jnp.asarray(
             rng.integers(0, 1 << 16, size=(n, 18), dtype=np.int32)
         ).at[:, 16:].set(0)
-        fn = jax.jit(lambda P, s, mesh=mesh: SH.sharded_msm(mesh, P, s))
+        fn = lambda P, s, mesh=mesh: SH.sharded_msm(mesh, P, s, c=6, lanes=64)
         _sync(fn(base, scal))
         t0 = time.time()
         _sync(fn(base, scal))
@@ -74,20 +73,17 @@ def bench_pairing(per_dev_b: int, mesh_sizes=(1, 2, 4, 8)):
 
     from crypto12381_tpu.curves import g1 as G1
     from crypto12381_tpu.curves import g2 as G2
-    from crypto12381_tpu.fields import active as FP
     from crypto12381_tpu.parallel import sharding as SH
 
     out = {}
     for d in mesh_sizes:
         B = per_dev_b * d
-        mesh = Mesh(np.array(jax.devices()[:d]), ("dp",))
+        mesh = SH.default_mesh(jax.devices()[:d])
         g1 = G1.generator((B,))
         g2 = G2.generator((B,))
         p_aff = (g1[0], g1[1])
         q_aff = (g2[0], g2[1])
-        fn = jax.jit(
-            lambda p, q, mesh=mesh: SH.sharded_batched_pairing(mesh, p, q)
-        )
+        fn = lambda p, q, mesh=mesh: SH.sharded_batched_pairing(mesh, p, q)
         _sync(fn(p_aff, q_aff))
         t0 = time.time()
         _sync(fn(p_aff, q_aff))

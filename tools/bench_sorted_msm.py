@@ -66,7 +66,7 @@ def main():
     s_dev = jnp.asarray(s_raw)
 
     for c in cs:
-        fn = jax.jit(lambda P, s, c=c: MS.msm_g1_sorted(P, s, c=c))
+        fn = lambda P, s, c=c: MS.msm_g1_sorted_staged(P, s, c=c)
         t0 = time.time()
         res = fn(P, s_dev)
         sync(res)
