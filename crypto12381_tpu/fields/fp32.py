@@ -619,16 +619,50 @@ def canon_eq(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.all(a == b, axis=-1)
 
 
+@functools.lru_cache(maxsize=None)
+def _const_toep(name: str, c_key: bytes, L: int, Lp: int) -> np.ndarray:
+    """(Lp, 128) f32 banded Toeplitz of the 8-bit constant limbs c:
+    (an @ T) = raw product columns of an * c (width 2L-1 <= 128)."""
+    c = np.frombuffer(c_key, np.float32)
+    m = np.zeros((Lp, 128), np.float32)
+    for j in range(L):
+        for k in range(j, j + L):
+            m[j, k] = c[k - j]
+    return m
+
+
 def _mont_mul_small(ctx: FieldCtx8, an: jnp.ndarray, c_limbs: np.ndarray) -> jnp.ndarray:
     """REDC(an * c) with NO input offset: an must already be carried digits
-    in [-1, 256] with |value| < 2^7 p (e.g. a fresh mont_mul output) and c a
-    canonical constant < p.  Then t/R < 2^-12 p, so the output is in
-    (-eps*p, (1+eps) p) — fully contracted.  Cold-path helper behind
-    reduce_full/from_mont."""
-    L = ctx.L
-    c = jnp.broadcast_to(jnp.asarray(c_limbs), an.shape)
-    t = carry_rounds(_mul_cols_scan(an, c, 2 * L + 2))
+    in [-1, 256] with |value| < ~2^13 p (e.g. a fresh mont_mul output, or a
+    _norm_in result) and c a canonical constant < p.  Then t/R < 2^-6 p, so
+    the output is in (-eps*p, (1+eps) p) — fully contracted.
+
+    c is a host constant, so the product is a banded-Toeplitz bf16 MXU
+    matmul (digits in [-1, 256] and 8-bit constant limbs are bf16-exact;
+    column sums of <= L 16-bit products stay under 2^22, f32-exact) — the
+    same discipline as _redc's two constant multiplies.  No scan: this is
+    on the batch-canonicalization hot path (reduce_full, canon1, the
+    sorted-MSM merge passes), and a lax.scan would cost ~1.2 ms per
+    iteration through the tunneled backend."""
+    L, Lp = ctx.L, ctx.pad_in
+    toep = _const_toep(
+        ctx.params.name, np.asarray(c_limbs, np.float32).tobytes(), L, Lp
+    )
+    pad = jnp.zeros(an.shape[:-1] + (Lp - L,), jnp.float32)
+    t_raw = _bf16_dot(jnp.concatenate([an, pad], -1), toep)    # (..., 128)
+    t = carry_rounds(t_raw)[..., : 2 * L + 2]
     return _redc(ctx, t)
+
+
+def canon1(ctx: FieldCtx8, x: jnp.ndarray) -> jnp.ndarray:
+    """Any budget-legal loose signed value (|value| <= 2^BUDGET p,
+    |limb| < 2^23) -> canonical [0, p) digits in the same Montgomery
+    domain, with ONE multiply (reduce_full spends two): digit-normalize
+    (value in [0, ~2^13 p), digits [-1, 256]), one offset-free REDC
+    against R mod p (== x * R / R == x mod p; t/R < 2^-6 p so the result
+    lands in (-p, 2p)), canonicalize.  The sorted-MSM merge passes call
+    this once per output coordinate."""
+    return _canon(ctx, _mont_mul_small(ctx, _norm_in(ctx, x), ctx.one_mont))
 
 
 def _canon(ctx: FieldCtx8, t: jnp.ndarray) -> jnp.ndarray:

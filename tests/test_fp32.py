@@ -130,3 +130,20 @@ def test_tighten_contracts_doubling_chain(ctx, mod):
         assert lim < 2 ** 19, lim
     got = list(F8.to_int(ctx, F8.reduce_full(ctx, x), mont=False))
     assert got == xv
+
+
+@pytest.mark.parametrize("ctx,mod", [(F8.FP_CTX, P), (F8.FR_CTX, R)])
+def test_canon1_matches_reduce_full(ctx, mod):
+    """canon1 (one-multiply canonicalization) must equal reduce_full on
+    budget-range loose signed inputs, including negatives and fresh mont
+    outputs."""
+    av = rand_ints(6, mod)
+    bv = rand_ints(6, mod)
+    a = F8.from_int(ctx, av)
+    b = F8.from_int(ctx, bv)
+    m = F8.mont_mul(ctx, a, b)                 # fresh mont output (loose)
+    loose = F8.sub(ctx, m, F8.add(ctx, a, F8.add(ctx, b, b)))  # negative-ish
+    for x in (a, m, loose, F8.zero(ctx, (6,))):
+        got = np.asarray(F8.canon1(ctx, x))
+        ref = np.asarray(F8.reduce_full(ctx, x))
+        assert np.array_equal(got, ref)
