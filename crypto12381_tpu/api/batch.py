@@ -435,19 +435,19 @@ class G1Vec(_PointVec):
         one = FPA.one(FPX, (arr.shape[0],))
         return cls((x, y, one), z_is_one=True)
 
-    def serialize(self) -> list[bytes]:
-        """Vectorized batch serialize: ONE device pass to canonical affine
-        standard-domain digits, one fetch, numpy byte packing."""
-        if FPA.ENGINE != "fp32":
-            return [
-                codec.g1_serialize(p)
-                for p in _obj_flat(G1C.to_affine_ints(self.p))
-            ]
+    def serialize_device(self):
+        """Device half of serialize: canonical affine standard-domain
+        digits (..., 2, L) + infinity mask — jittable, so scheme batch
+        graphs can fuse it with their exponentiation ladders."""
         x, y, inf = self.affine()
-        xs = FPA.from_mont(FPX, jnp.stack([x, y], -2))
-        host = np.asarray(jax.device_get(xs)).astype(np.uint8)
-        host = host.reshape(-1, 2, FPX.L)
-        infh = np.asarray(jax.device_get(inf)).reshape(-1)
+        return FPA.from_mont(FPX, jnp.stack([x, y], -2)), inf
+
+    @staticmethod
+    def pack_bytes(host, infh) -> list[bytes]:
+        """Host half of serialize: numpy packing of fetched digit arrays
+        (output of serialize_device) into 49-byte compressed points."""
+        host = np.asarray(host).astype(np.uint8).reshape(-1, 2, FPX.L)
+        infh = np.asarray(infh).reshape(-1)
         B = host.shape[0]
         out = np.zeros((B, 49), np.uint8)
         out[:, 0] = np.where(
@@ -456,6 +456,19 @@ class G1Vec(_PointVec):
         xb = host[:, 0, 47::-1]                       # BE bytes of x
         out[:, 1:] = np.where(infh[:, None], 0, xb)
         return [bytes(r) for r in out]
+
+    def serialize(self) -> list[bytes]:
+        """Vectorized batch serialize: ONE device pass to canonical affine
+        standard-domain digits, one fetch, numpy byte packing."""
+        if FPA.ENGINE != "fp32":
+            return [
+                codec.g1_serialize(p)
+                for p in _obj_flat(G1C.to_affine_ints(self.p))
+            ]
+        xs, inf = self.serialize_device()
+        return self.pack_bytes(
+            jax.device_get(xs), jax.device_get(inf)
+        )
 
     def to_elements(self):
         from .elements import G1Element

@@ -99,11 +99,13 @@ def sign_batch(pp: PublicParameters, sk: bytes, messages, random) -> list:
     else:
         mm = jnp.zeros((0, B, 18), jnp.int32)
         hp = BT.G1Vec.identity((0,)).p
-    Ap = _sign_device_jit()(
+    import jax as _jax
+
+    xs_inf = _sign_device_jit()(
         mm, BT.G1Vec.from_elements([g1e]).p,
         hp, BT.ZpVec.from_ints(einv).std,
     )
-    ab = BT.G1Vec(Ap).serialize()
+    ab = BT.G1Vec.pack_bytes(*_jax.device_get(xs_inf))
     xb = BT.ZpVec.from_ints(xs).serialize()
     return [ab[i] + xb[i] for i in range(B)]
 
@@ -122,7 +124,9 @@ def _sign_device_jit():
                 hi = BT.G1Vec(tuple(c[i : i + 1] for c in hp),
                               z_is_one=True)
                 base = base * (hi.broadcast_to((B,)) ** BT.ZpVec(mm[i]))
-            return (base ** BT.ZpVec(einv)).p
+            # serialize_device fused in: the affine batch inversion would
+            # otherwise dispatch eagerly (~0.5-1 s/op on the tunnel)
+            return (base ** BT.ZpVec(einv)).serialize_device()
 
         _SIGN_DEV = jax.jit(f)
     return _SIGN_DEV
