@@ -71,20 +71,22 @@ _SENT = np.int32(1 << 24)
 # ---------------------------------------------------------------------------
 
 
-def block_batch_inv(v: jnp.ndarray, zeros=None) -> jnp.ndarray:
+def block_batch_inv(v: jnp.ndarray, zeros=None, B: int = 128,
+                    U: int = 4) -> jnp.ndarray:
     """Elementwise modular inverse of (m, L) loose values with ONE Fermat
-    chain: the m values split into 128-element columns; a 32-iteration
+    chain: the m values split into B-element columns; a B/U-iteration
     scan builds running products per column, one batched Fermat inversion
-    handles the m/128 column totals, and the backward scan unwinds.
+    handles the m/B column totals, and the backward scan unwinds.
 
     `zeros`: optional (m,) bool marking zero inputs (free when the caller
     holds canonical digits); if None a reduce_full-based test is paid.
-    Zero inputs return 0 (Fermat semantics).  ~3 muls per element."""
+    Zero inputs return 0 (Fermat semantics).  ~3 muls per element.
+    B trades Fermat-chain rows (m/B) against scan iterations (B/U): the
+    v2 MSM passes use B=512/U=32 (16 iterations, chain on CH/512 rows)."""
     m = v.shape[0]
     if zeros is None:
         zeros = F8.is_zero(CTX, v)
     safe = jnp.where(zeros[..., None], F8.one(CTX, (m,)), v)
-    U, B = 4, 128
     pad = (-m) % (B * U)
     if pad:
         safe = jnp.concatenate([safe, F8.one(CTX, (pad,))], 0)
@@ -430,12 +432,397 @@ def _staged_jits(c: int, n: int):
     return j_front, j_dens, j_inv, j_rest
 
 
-def msm_g1_sorted_staged(points, scalars_std, c: int = 16):
-    """Staged large-N MSM: five jit dispatches (see module comment above);
-    concrete (non-traced) inputs only."""
+def msm_g1_sorted_staged_v1(points, scalars_std, c: int = 16):
+    """v1 staged MSM (kept for profiling comparison; superseded by the v2
+    pipeline below): five jit dispatches, double sort, projective merge
+    passes.  Concrete (non-traced) inputs only."""
     n = points[0].shape[0]
     j_front, j_dens, j_inv, j_rest = _staged_jits(c, n)
     tab, digits = j_front(points, scalars_std)
     _, dens = j_dens(tab, digits)
     dinvs = j_inv(dens)
     return j_rest(tab, digits, dinvs)
+
+
+# =========================================================================
+# Staged pipeline v2 — the single-chip large-N entry point.
+#
+# Second iteration of the staged design, built from the round-4 profile of
+# v1 (BASELINE.md: front 1.8 s / dens 8.8 s / inv 2.4 s / merges+collapse
+# 17.7 s at 2^20 — the field-multiply floor was only ~8 s).  What changed:
+#
+#   * ONE sort+gather per window (v1 sorted twice: once for denominators,
+#     once in the merge stage) — the sorted per-window tables (keys,
+#     sign-resolved uint8 coords) persist between stages;
+#   * EVERY merge pass is batched-affine (v1 used the 14-mul complete
+#     projective add for passes 2+): pair denominators are known before
+#     any addition, one Montgomery block inversion per pass, ~7 muls per
+#     slot (3 inv share + lam + lam^2 + y3 + a one-mul canon of x3 via
+#     fp32.canon1).  Survivor x stays canonical uint8 (free equality for
+#     the next pass's edge detection + 4x less gather traffic); survivor
+#     y stays loose f32 under a tighten() bound (|y| < 2^11 p, so the
+#     pass-chain never escapes the static budget);
+#   * window-batched passes: all K windows' slots flatten into FIXED
+#     2^21/2^18-row chunks inside each pass jit, so the Mosaic mont-mul
+#     kernel compiles at TWO row counts total instead of one per pass
+#     size (each distinct (kernel, rows) pair costs 30-90 s of remote
+#     compile on this backend);
+#   * host-driven pass loop: a per-pass scalar fetch skips the remaining
+#     passes the moment no mergeable run survives, and selects between a
+#     FAST pass kernel (no doubling / infinity logic — valid whenever no
+#     equal-x merge pair exists, the always case for distinct-point MSMs;
+#     the free canonical-digit xeq count proves it per pass) and the
+#     GENERAL kernel (doubling via 3x^2, P + (-P) -> infinity flags) that
+#     adversarial inputs fall back to;
+#   * pass sizes quantized (2^16 granule above 2^17, 2^14 below) so the
+#     ~20 static pass shapes collapse to ~6 distinct compiled graphs.
+#
+# Reference counterpart: ECP_muln (3rd-party/miracl-core/
+# ecp_BLS12381.cpp:1112-1148); everything above is TPU-native scheduling
+# with no analogue in the serial reference.
+# =========================================================================
+
+_CH_A = 1 << 21      # big multiply-chunk rows (Mosaic instance #1)
+_CH_B = 1 << 18      # small multiply-chunk rows (Mosaic instance #2)
+_INV_B = 512         # inversion block length (cols = CH/B per chunk)
+_INV_U = 32          # inversion scan unroll (iters = B/U per direction)
+
+
+def _quantize(m: int, lo: int) -> int:
+    """Round a pass size up to the shape-sharing granule (never above the
+    worst-case-safe bound is needed — larger is always correct)."""
+    g = (1 << 14) if m <= (1 << 17) else (1 << 16)
+    return min(lo, -(-m // g) * g)
+
+
+def _chunk_plan(total: int) -> list[int]:
+    """Fixed-size chunk composition of `total` rows: CH_A chunks then CH_B
+    chunks (last one padded)."""
+    plan = []
+    while total >= _CH_A:
+        plan.append(_CH_A)
+        total -= _CH_A
+    while total > 0:
+        plan.append(_CH_B)
+        total -= _CH_B
+    return plan
+
+
+def _chunked(fn, flat_args, total: int, n_out: int):
+    """Apply `fn` (a fixed-rows kernel) over the chunk plan of `total`
+    rows INSIDE the surrounding jit: pad to the plan, run each chunk,
+    concatenate.  flat_args: list of (T, ...) arrays."""
+    plan = _chunk_plan(total)
+    padded = sum(plan)
+    if padded > total:
+        flat_args = [
+            jnp.concatenate(
+                [a, jnp.zeros((padded - total,) + a.shape[1:], a.dtype)], 0
+            )
+            for a in flat_args
+        ]
+    outs = [[] for _ in range(n_out)]
+    off = 0
+    for ch in plan:
+        res = fn(*[a[off : off + ch] for a in flat_args])
+        if n_out == 1:
+            res = (res,)
+        for i in range(n_out):
+            outs[i].append(res[i])
+        off += ch
+    cat = [jnp.concatenate(o, 0)[:total] for o in outs]
+    return cat[0] if n_out == 1 else tuple(cat)
+
+
+def _pair_gather2(k: jnp.ndarray, m_out: int):
+    """Window-batched pass prologue on (K, m) sorted keys: survivor src
+    indices, partner indices, compacted keys, merge mask."""
+    Kw, m = k.shape
+    iota = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32)[None, :], (Kw, m))
+    change = jnp.concatenate(
+        [jnp.ones((Kw, 1), bool), k[:, 1:] != k[:, :-1]], 1
+    )
+    start = jax.lax.cummax(jnp.where(change, iota, 0), axis=1)
+    even = ((iota - start) & 1) == 0
+    pos = jnp.cumsum(even.astype(jnp.int32), axis=1) - 1
+    dest = jnp.where(even, pos, m_out)
+    rows = jnp.arange(Kw, dtype=jnp.int32)[:, None]
+    src = jnp.full((Kw, m_out), m, jnp.int32).at[rows, dest].set(
+        iota, mode="drop"
+    )
+    kp = jnp.concatenate([k, jnp.full((Kw, 1), _SENT, k.dtype)], 1)
+    ka = jnp.take_along_axis(kp, src, 1)
+    src1 = jnp.minimum(src + 1, m)
+    kb = jnp.take_along_axis(kp, src1, 1)
+    merge = jnp.logical_and(kb == ka, ka < _SENT)
+    return src, src1, ka, merge
+
+
+def _gath(a: jnp.ndarray, idx: jnp.ndarray, fill=0):
+    """(K, m, L) table -> (K, m_out, L) rows at idx, one sentinel row."""
+    tail = jnp.broadcast_to(
+        jnp.asarray(fill, a.dtype), a.shape[:1] + (1,) + a.shape[2:]
+    )
+    ap = jnp.concatenate([a, tail], 1)
+    return jnp.take_along_axis(ap, idx[:, :, None], 1)
+
+
+@functools.lru_cache(maxsize=None)
+def _v2_struct(m_in: int, m_out: int, general: bool):
+    """Per-pass front (no Mosaic ops — fast XLA compile per shape): pair
+    structure, operand materialization, denominators, xeq count."""
+    import jax as _jax
+
+    def f(k, x, y, inf):
+        src, src1, ka, merge = _pair_gather2(k, m_out)
+        xa = _gath(x, src)
+        xb = _gath(x, src1)
+        ya = _gath(y, src).astype(jnp.float32)
+        yb = _gath(y, src1).astype(jnp.float32)
+        xeq_digits = jnp.all(xa == xb, axis=-1)
+        one = F8.one(CTX, (k.shape[0], m_out))
+        if not general:
+            xeq = jnp.logical_and(xeq_digits, merge)
+            den = jnp.where(
+                merge[..., None], xb.astype(jnp.float32) - xa.astype(jnp.float32),
+                one,
+            )
+            n_x = jnp.sum(xeq.astype(jnp.int32))
+            return ka, merge, xa, ya, xb, yb, den, n_x
+        infp = jnp.concatenate(
+            [inf, jnp.ones((inf.shape[0], 1), bool)], 1
+        )
+        ia = jnp.take_along_axis(infp, src, 1)
+        ib = jnp.take_along_axis(infp, src1, 1)
+        live = jnp.logical_and(merge, jnp.logical_and(~ia, ~ib))
+        xeq = jnp.logical_and(xeq_digits, live)
+        s_ab = ya + yb
+        yopp = F8.canon_is_zero(F8.canon1(CTX, s_ab))
+        inf_out = jnp.logical_and(xeq, yopp)
+        add_ok = jnp.logical_and(live, ~inf_out)
+        den = jnp.where(
+            xeq[..., None], s_ab,
+            xb.astype(jnp.float32) - xa.astype(jnp.float32),
+        )
+        den = jnp.where(add_ok[..., None], den, one)
+        return ka, merge, xa, ya, xb, yb, den, (ia, ib, xeq, inf_out)
+
+    return _jax.jit(f)
+
+
+def _apply_math(xa, ya, xb, yb, dinv, xeq=None):
+    """Batched-affine pair addition core at fixed chunk rows: ~4 muls +
+    the inversion share.  xeq=None -> fast variant (no doubling)."""
+    xaf = xa.astype(jnp.float32)
+    xbf = xb.astype(jnp.float32)
+    num = yb - ya
+    if xeq is not None:
+        x2 = F8.mont_sqr(CTX, xaf)
+        num = jnp.where(xeq[..., None], F8.mul_small(CTX, x2, 3), num)
+    lam = F8.mont_mul(CTX, num, dinv)
+    lam2 = F8.mont_sqr(CTX, lam)
+    x3 = F8.canon1(CTX, lam2 - xaf - xbf)
+    y3 = F8.tighten(CTX, F8.mont_mul(CTX, lam, xaf - x3) - ya)
+    return x3, y3
+
+
+@functools.lru_cache(maxsize=None)
+def _v2_apply(total: int, general: bool):
+    """Per-pass multiply stage: flat (T, .) slot arrays processed in
+    fixed-row chunks (shared Mosaic instances)."""
+    import jax as _jax
+
+    def fast_chunk(xa, ya, xb, yb, dinv, merge):
+        x3, y3 = _apply_math(xa, ya, xb, yb, dinv)
+        m1 = merge[..., None]
+        x_out = jnp.where(m1, x3, xa.astype(jnp.float32))
+        y_out = jnp.where(m1, y3, ya)
+        return x_out.astype(jnp.uint8), y_out
+
+    def gen_chunk(xa, ya, xb, yb, dinv, merge, ia, ib, xeq, inf_out):
+        x3, y3 = _apply_math(xa, ya, xb, yb, dinv, xeq)
+        live = jnp.logical_and(merge, jnp.logical_and(~ia, ~ib))
+        add_ok = jnp.logical_and(live, ~inf_out)[..., None]
+        take_b = jnp.logical_and(merge, jnp.logical_and(ia, ~ib))[..., None]
+        x_out = jnp.where(
+            add_ok, x3,
+            jnp.where(take_b, xb.astype(jnp.float32), xa.astype(jnp.float32)),
+        )
+        y_out = jnp.where(add_ok, y3, jnp.where(take_b, yb, ya))
+        inf_new = jnp.where(
+            merge,
+            jnp.logical_or(jnp.logical_and(ia, ib), inf_out),
+            ia,
+        )
+        return x_out.astype(jnp.uint8), y_out, inf_new
+
+    if general:
+
+        def f(xa, ya, xb, yb, dinv, merge, ia, ib, xeq, inf_out):
+            return _chunked(
+                gen_chunk,
+                [xa, ya, xb, yb, dinv, merge, ia, ib, xeq, inf_out],
+                total, 3,
+            )
+
+    else:
+
+        def f(xa, ya, xb, yb, dinv, merge):
+            return _chunked(
+                fast_chunk, [xa, ya, xb, yb, dinv, merge], total, 2
+            )
+
+    return _jax.jit(f)
+
+
+@functools.lru_cache(maxsize=None)
+def _v2_inv(total: int):
+    """Per-pass denominator inversion: fixed-row chunks, each its own
+    Montgomery block (one Fermat chain per chunk)."""
+    import jax as _jax
+
+    def chunk(v):
+        # _chunked pads with zero rows; route them (and only them —
+        # real denominators are nonzero by construction) through 1 so
+        # they cannot poison the block product chains
+        safe = jnp.where(
+            jnp.all(v == 0, axis=-1, keepdims=True),
+            F8.one(CTX, (v.shape[0],)), v,
+        )
+        return block_batch_inv(
+            safe, zeros=jnp.zeros(v.shape[0], bool), B=_INV_B, U=_INV_U
+        )
+
+    def f(den):
+        sh = den.shape
+        out = _chunked(chunk, [den.reshape(-1, L)], total, 1)
+        return out.reshape(sh)
+
+    return _jax.jit(f)
+
+
+@functools.lru_cache(maxsize=None)
+def _v2_anymerge(Kw: int, m: int):
+    import jax as _jax
+
+    def f(k):
+        return jnp.any(
+            jnp.logical_and(k[:, 1:] == k[:, :-1], k[:, :-1] < _SENT)
+        )
+
+    return _jax.jit(f)
+
+
+@functools.lru_cache(maxsize=None)
+def _v2_jits(c: int, n: int):
+    import jax as _jax
+
+    n2 = n + (n % 2)
+    K = -(-258 // c)
+    nbuck = (1 << (c - 1)) + 1
+
+    @_jax.jit
+    def j_front(points, scalars_std):
+        return _prep(points, scalars_std, c)
+
+    @_jax.jit
+    def j_sortg(tab, digits):
+        iota = jnp.arange(n2, dtype=jnp.int32)
+
+        def w(carry, dk):
+            sk, sidx = jax.lax.sort_key_val(jnp.abs(dk), iota)
+            g = tab[sidx]                                   # one row gather
+            xs = g[:, 0]
+            ys = jnp.where((dk[sidx] < 0)[..., None], g[:, 2], g[:, 1])
+            return carry, (sk, xs, ys)
+
+        _, out = _jax.lax.scan(w, 0, jnp.moveaxis(digits, 1, 0))
+        return out
+
+    return j_front, j_sortg, K, nbuck
+
+
+@functools.lru_cache(maxsize=None)
+def _v2_finish(m_last: int, K: int, nbuck: int, c: int, general: bool):
+    import jax as _jax
+
+    ops = G1.ops()
+    e_ndim = ops.elem_ndim
+
+    def f(k, x, y, inf):
+        xf = x.astype(jnp.float32)
+        one = F8.one(CTX, k.shape)
+        zero = jnp.zeros_like(one)
+        if general:
+            i1 = inf[..., None]
+            X = jnp.where(i1, zero, xf)
+            Y = jnp.where(i1, one, y)
+            Z = jnp.where(i1, zero, one)
+        else:
+            X, Y, Z = xf, y, one
+        grid = MSM._stack(W.identity(ops, (K, nbuck)), e_ndim)
+        rows = jnp.arange(K, dtype=jnp.int32)[:, None]
+        kk = jnp.where(k < _SENT, k, nbuck + 7)          # drop dead slots
+        grid = grid.at[rows, kk].set(
+            MSM._stack((X, Y, Z), e_ndim), mode="drop"
+        )
+        return _finish(grid, c, K, nbuck)
+
+    return _jax.jit(f)
+
+
+def msm_g1_sorted_staged(points, scalars_std, c: int = 16):
+    """Staged large-N sorted MSM v2 (see the section comment above);
+    concrete (non-traced) inputs only.  Returns one projective point."""
+    import numpy as _np
+
+    n = points[0].shape[0]
+    j_front, j_sortg, K, nbuck = _v2_jits(c, n)
+    tab, digits = j_front(points, scalars_std)
+    k, x, y = j_sortg(tab, digits)
+    n2 = k.shape[1]
+    sizes = pass_sizes(n2, nbuck)
+    inf = None
+    general = False
+    m = n2
+    for m_raw in sizes:
+        m_out = _quantize(m_raw, m)
+        if not general:
+            st = _v2_struct(m, m_out, False)
+            ka, merge, xa, ya, xb, yb, den, n_x = st(k, x, y, None)
+            if int(_np.asarray(n_x)) > 0:
+                general = True
+        if general:
+            if inf is None:
+                inf = jnp.asarray(_np.zeros((K, m), bool))
+            st = _v2_struct(m, m_out, True)
+            ka, merge, xa, ya, xb, yb, den, flags = st(k, x, y, inf)
+        total = K * m_out
+        dinv = _v2_inv(total)(den)
+        fl = [a.reshape((total,) + a.shape[2:]) for a in (xa, ya, xb, yb)]
+        dv = dinv.reshape(total, L)
+        mg = merge.reshape(total)
+        if general:
+            ia, ib, xeq, inf_out = [a.reshape(total) for a in flags]
+            x, y, inf = _v2_apply(total, True)(
+                fl[0], fl[1], fl[2], fl[3], dv, mg, ia, ib, xeq, inf_out
+            )
+            inf = inf.reshape(K, m_out)
+        else:
+            x, y = _v2_apply(total, False)(
+                fl[0], fl[1], fl[2], fl[3], dv, mg
+            )
+        x = x.reshape(K, m_out, L)
+        y = y.reshape(K, m_out, L)
+        k = ka
+        m = m_out
+        if not bool(_np.asarray(_v2_anymerge(K, m)(k))):
+            break
+    else:
+        # pass_sizes covers the worst case (ceil(log2 n) halvings), so
+        # falling out of the loop with mergeable runs left is impossible
+        assert not bool(_np.asarray(_v2_anymerge(K, m)(k))), \
+            "sorted-MSM v2: merge passes did not converge"
+    if inf is None:
+        inf = jnp.asarray(_np.zeros((K, m), bool))
+    return _v2_finish(m, K, nbuck, c, general)(k, x, y, inf)
