@@ -490,7 +490,15 @@ _INV_U = 32          # inversion scan unroll (iters = B/U per direction)
 
 def _quantize(m: int, lo: int) -> int:
     """Round a pass size up to the shape-sharing granule (never above the
-    worst-case-safe bound is needed — larger is always correct)."""
+    worst-case-safe bound is needed — larger is always correct).
+
+    INVARIANT (relied on by _pair_gather2's mode='drop' scatter): the
+    quantized sizes stay monotonically non-increasing and every pass's
+    output size is >= pass_sizes' worst-case survivor bound for its
+    input size, so REAL-key survivors always fit m_out; only survivors
+    of the sentinel-padding run may overflow, and dropping those is
+    harmless.  Changing this function (or pass_sizes) to ever return a
+    value below pass_sizes' bound would silently drop real points."""
     g = (1 << 14) if m <= (1 << 17) else (1 << 16)
     return min(lo, -(-m // g) * g)
 
@@ -536,7 +544,12 @@ def _chunked(fn, flat_args, total: int, n_out: int):
 
 def _pair_gather2(k: jnp.ndarray, m_out: int):
     """Window-batched pass prologue on (K, m) sorted keys: survivor src
-    indices, partner indices, compacted keys, merge mask."""
+    indices, partner indices, compacted keys, merge mask.
+
+    The mode='drop' survivor scatter is correct only because real-key
+    survivors never exceed m_out (see the invariant note on _quantize):
+    m_out >= pass_sizes' bound, so any dropped survivor belongs to the
+    sentinel run at the sorted tail, which carries no point data."""
     Kw, m = k.shape
     iota = jnp.broadcast_to(jnp.arange(m, dtype=jnp.int32)[None, :], (Kw, m))
     change = jnp.concatenate(

@@ -101,11 +101,21 @@ def sign_batch(pp: PublicParameters, sk: bytes, messages, random) -> list:
         hp = BT.G1Vec.identity((0,)).p
     import jax as _jax
 
-    xs_inf = _sign_device_jit()(
-        mm, BT.G1Vec.from_elements([g1e]).p,
-        hp, BT.ZpVec.from_ints(einv).std,
-    )
-    ab = BT.G1Vec.pack_bytes(*_jax.device_get(xs_inf))
+    from ..fields import active as FPA
+
+    if FPA.ENGINE == "fp32":
+        xs_inf = _sign_device_jit()(
+            mm, BT.G1Vec.from_elements([g1e]).p,
+            hp, BT.ZpVec.from_ints(einv).std,
+        )
+        ab = BT.G1Vec.pack_bytes(*_jax.device_get(xs_inf))
+    else:
+        # engine-generic fallback: pack_bytes assumes fp32 8-bit digits
+        base = BT.G1Vec.from_elements([g1e] * B)
+        for i in range(n):
+            hi = BT.G1Vec.from_elements([he[i]] * B)
+            base = base * (hi ** BT.ZpVec(mm[i]))
+        ab = (base ** BT.ZpVec.from_ints(einv)).serialize()
     xb = BT.ZpVec.from_ints(xs).serialize()
     return [ab[i] + xb[i] for i in range(B)]
 

@@ -66,10 +66,18 @@ def sign_batch(sk: bytes, messages, random) -> list:
         e2.append((x + y * mm) * u)
     import jax
 
+    from ..fields import active as FPA
+
     B = len(messages)
     exps = BT.ZpVec.from_ints(e1 + e2)
-    xs, inf = _sign_device_jit()(exps.std)
-    blobs = BT.G1Vec.pack_bytes(*jax.device_get((xs, inf)))
+    if FPA.ENGINE == "fp32":
+        xs, inf = _sign_device_jit()(exps.std)
+        blobs = BT.G1Vec.pack_bytes(*jax.device_get((xs, inf)))
+    else:
+        # pack_bytes assumes the fp32 engine's 48x8-bit digit layout;
+        # other engines (int16 differential-test engine) go through the
+        # engine-generic codec path.
+        blobs = (BT.G1Vec.generator((2 * B,)) ** exps).serialize()
     return [blobs[i] + blobs[B + i] for i in range(B)]
 
 
