@@ -1,44 +1,52 @@
-"""Dense-rounds batched-affine Pippenger MSM — third-generation large-N
-G1 kernel.
+"""Dense-rounds MSM — third-generation large-N G1 kernel.
 
-Architecture (round-5 rework of msm/sorted.py's merge-tree design, built
-from its measured failure mode: per-pass index machinery and host syncs
-dominated the multiply floor):
+Architecture (round-5 rework, built from measured failure modes of both
+earlier designs: the scan-scatter MSM is capped by XLA's in-place-scatter
+ceiling at c = 8 (33 windows x 13 muls/point), and the sorted merge-tree
+paid more in per-pass index machinery, host syncs and canonicalization
+passes than its affine adds saved):
 
-  front:  force-affine + canonical uint8 coordinate table (n, 3, L)
-          + signed c-bit window digits (msm/pippenger.signed_window_digits);
-  sort:   ONE batched sort of all K windows' |digits| (K, n) — equal
-          buckets become runs; the per-(window, bucket) run START and
-          LENGTH grids (K, nbuck) are extracted once with two collision-free
-          scatters (first/last-of-run positions).  No other index machinery
-          exists anywhere in the pipeline;
-  rounds: the bucket accumulator A is a DENSE (K, nbuck) affine array
-          (x canonical uint8, y loose f32 under the tighten() budget, inf
-          flag).  Round j adds, to every live bucket, the j-th element of
-          that bucket's sorted run — one point per bucket per round, so
-          the update is a plain dense select: NO scatter, NO compaction,
-          no per-round structure computation (the partner row index is
-          just starts + j).  Each round is a batched-affine complete add:
-          all (K * nbuck) pair denominators are known up front, ONE
-          Montgomery block inversion serves the round, ~7 field muls per
-          slot.  Doubling (duplicate input points) and P + (-P) -> inf
-          edges resolve branchlessly from the canonical-digit compares,
-          exactly like the merge-tree kernel's general pass;
-  finish: the accumulator IS the bucket grid — O(sqrt(nbuck)) weighted
-          collapse + Horner window combine (shared with msm/pippenger).
+  front:  force-affine + one canonical coordinate table packed as
+          (n, 128) f32 rows — x digits in lanes 0..49, y in 50..99.  A
+          single 128-lane row is ONE (8, 128) f32 tile, which makes the
+          per-round random row gather ~2.5x faster than any multi-tile
+          layout (measured: 26 ms vs 64 ms per 557 K rows);
+  sort:   ONE batched sort of all K windows' |digits| (K, n).  Equal
+          buckets become runs; two collision-free scatters extract the
+          per-(window, bucket) run START and LENGTH grids.  That is the
+          ONLY index machinery in the whole pipeline;
+  rounds: the bucket accumulator is a DENSE per-(window, bucket) slot
+          array of projective points.  Round j adds the j-th element of
+          every live bucket's run — one point per bucket per round, so
+          each round is: one row gather + one fused complete mixed-add
+          kernel (fields/fp32k's single-launch RCB madd) + one select.
+          NO scatter, NO inversion, NO edge-case logic: the complete
+          formulas absorb doubling (duplicate points), P + (-P) and
+          identity accumulators branchlessly;
+  ladder: run lengths are Poisson(n / nbuck); as buckets finish, live
+          slots are COMPACTED down a quantized size ladder (one gather
+          per step) so late rounds don't pay the full working set.  The
+          schedule comes from one fetch of the run-length survival
+          counts after the sort — zero host round-trips inside the loop;
+  finish: compacted slots scatter back into the full bucket grid, which
+          collapses with the O(sqrt(nbuck)) weighted scheme + Horner
+          window combine shared with msm/pippenger.
 
-Round count = max run length =~ n/2^(c-1) + Poisson tail for random
-scalars (62 at n = 2^20, c = 16); every round is the SAME compiled graph
-(the round index is a traced scalar), so the whole pipeline compiles 4
-graphs total and runs with zero host round-trips inside the loop (one
-max-length fetch after the sort decides the loop trip count).  Worst-case
-(adversarial single-bucket) inputs degrade to n rounds but stay correct.
+Why rounds instead of a merge tree: both do ~K*n point-adds, but rounds
+need ONE compiled graph per ladder size (the round index is a traced
+scalar), touch each point exactly once, and have no survivor-compaction
+scatters or per-pass structure recomputation.  Why projective instead of
+batched-affine: the fused 13-mul complete madd runs at the same measured
+~43 M field-muls/s plateau as every other kernel on this chip, and the
+affine path's per-round block inversion + canonicalization + flag
+machinery costs more than the 13 -> ~7 mul saving returns (measured:
+155 ms canonicalized affine chain + 87 ms block inversion vs 168 ms for
+the whole fused madd at the same working set).
 
 Reference counterpart: ECP_muln (3rd-party/miracl-core/
 ecp_BLS12381.cpp:1112-1148 — serial Pippenger, unsigned 4-bit windows).
-The dense conflict-free round scheduling, batched block inversion and
-canonical-digit edge discipline are TPU-native design with no analogue in
-the serial reference.
+The dense conflict-free round scheduling and compaction ladder are
+TPU-native design with no analogue in the serial reference.
 
 fp32-engine only; other engines keep the generic scan MSM.
 """
@@ -52,33 +60,44 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..curves import g1 as G1
+from ..curves import weierstrass as W
 from ..fields import fp32 as F8
 from . import pippenger as MSM
-from .sorted import _prep, block_batch_inv, _finish
+from .sorted import _prep, _finish
 
 CTX = F8.FP_CTX
 L = CTX.L
 
 __all__ = ["msm_g1_rounds"]
 
+#: survival-count window fetched after the sort (rounds beyond this keep
+#: the last ladder size — only adversarial inputs ever get there)
+_COUNT_CAP = 512
+
+#: quantized compaction ladder (slot-array sizes; compile-shape budget)
+_LADDER = (1 << 18, 1 << 17, 1 << 16, 1 << 15)
+
 
 @functools.lru_cache(maxsize=None)
 def _jits(c: int, n: int):
-    """The four compiled graphs of the pipeline (keyed by (c, n); the
-    round graphs are round-index-agnostic)."""
     K = -(-258 // c)
     nbuck = (1 << (c - 1)) + 1
     n2 = n + (n % 2)          # _prep pads odd n with a zero-scalar point
+    nf = K * n2               # flat sorted-slot count
+    S0 = K * nbuck            # full slot-array size
 
     @jax.jit
     def j_front(points, scalars_std):
-        return _prep(points, scalars_std, c)
+        tab8, digits = _prep(points, scalars_std, c)
+        tabf = jnp.zeros((n2, 128), jnp.float32)
+        tabf = tabf.at[:, :L].set(tab8[:, 0].astype(jnp.float32))
+        tabf = tabf.at[:, L : 2 * L].set(tab8[:, 1].astype(jnp.float32))
+        return tabf, digits
 
     @jax.jit
     def j_sort(digits):
-        """(n2, K) signed digits -> per-window sorted structure:
-        psel (K, n2) point-row per sorted slot, sgn (K, n2) digit sign,
-        starts/lens (K, nbuck) run grids, maxlen scalar."""
+        """(n2, K) signed digits -> flat sorted structure + run grids +
+        survival counts."""
         dT = jnp.moveaxis(digits, 1, 0)                     # (K, n2)
         keys = jnp.abs(dT)
         iota = jnp.broadcast_to(
@@ -86,6 +105,8 @@ def _jits(c: int, n: int):
         )
         skeys, psel = jax.lax.sort_key_val(keys, iota, dimension=1)
         sgn = jnp.take_along_axis(dT, psel, 1) < 0
+        # point row + sign in one int32 word: one gather per round
+        pselsgn = jnp.where(sgn, psel | np.int32(1 << 30), psel).reshape(nf)
         first = jnp.concatenate(
             [jnp.ones((K, 1), bool), skeys[:, 1:] != skeys[:, :-1]], 1
         )
@@ -95,7 +116,6 @@ def _jits(c: int, n: int):
         rows = jnp.broadcast_to(
             jnp.arange(K, dtype=jnp.int32)[:, None], (K, n2)
         )
-        # collision-free scatters: one first/last slot per (window, bucket)
         ks = jnp.where(first, skeys, nbuck)
         starts = jnp.full((K, nbuck), n2, jnp.int32).at[
             rows, ks
@@ -106,117 +126,125 @@ def _jits(c: int, n: int):
         ].set(iota + 1, mode="drop")
         lens = jnp.maximum(ends - jnp.where(starts < n2, starts, 0), 0)
         lens = lens.at[:, 0].set(0)      # digit-0 runs contribute nothing
-        return psel, sgn, starts, lens, jnp.max(lens)
+        # flat start index into the (K*n2,) sorted arrays
+        stf = (
+            jnp.arange(K, dtype=jnp.int32)[:, None] * n2
+            + jnp.minimum(starts, n2 - 1)
+        ).reshape(S0)
+        lnf = lens.reshape(S0)
+        counts = jnp.sum(
+            lnf[None, :] > jnp.arange(_COUNT_CAP, dtype=jnp.int32)[:, None],
+            axis=1,
+        )
+        return pselsgn, stf, lnf, jnp.max(lnf), counts
 
-    def _partner(tab, psel, sgn, starts, lens, j):
-        """Gather round j's partner point for every (window, bucket):
-        canonical affine uint8 coords (sign-resolved) + live mask."""
-        live = j < lens
-        slot = jnp.minimum(jnp.where(live, starts + j, 0), n2 - 1)
-        prow = jnp.take_along_axis(psel, slot, 1)           # (K, nbuck)
-        g = tab[prow]                                       # (K, nbuck, 3, L)
-        px = g[..., 0, :]
-        sg = jnp.take_along_axis(sgn, slot, 1)
-        py = jnp.where(sg[..., None], g[..., 2, :], g[..., 1, :])
-        return live, px, py
+    ops = G1.ops()
 
-    @jax.jit
-    def j_den(tab, psel, sgn, starts, lens, Ax, Ay, Ainf, j):
-        """Round prologue: partner gather + edge flags + denominators.
-        No Mosaic multiplies except the one-mul canon of Ay + py (the
-        y-opposition test); the block inversion runs in its own jit."""
-        live, px, py = _partner(tab, psel, sgn, starts, lens, j)
-        pyf = py.astype(jnp.float32)
-        first = jnp.logical_and(live, Ainf)
-        act = jnp.logical_and(live, ~Ainf)
-        xeq = jnp.logical_and(act, jnp.all(Ax == px, axis=-1))
-        s_ab = Ay + pyf           # == 2*Ay (mod p) in the doubling case
-        yopp = jnp.logical_and(
-            xeq, F8.canon_is_zero(F8.canon1(CTX, s_ab))
-        )
-        add_ok = jnp.logical_and(act, ~yopp)
-        dbl = jnp.logical_and(xeq, ~yopp)
-        den = jnp.where(
-            dbl[..., None], s_ab,
-            px.astype(jnp.float32) - Ax.astype(jnp.float32),
-        )
-        den = jnp.where(
-            add_ok[..., None], den, F8.one(CTX, (K, nbuck))
-        )
-        flags = (live, first, add_ok, dbl, yopp)
-        return den, flags, px, py
+    @functools.lru_cache(maxsize=None)
+    def j_round(S: int):
+        @jax.jit
+        def f(tabf, pselsgn, stf, lnf, AX, AY, AZ, j):
+            live = j < lnf
+            pos = jnp.minimum(stf + j, nf - 1)
+            ps = pselsgn[pos]
+            prow = ps & np.int32((1 << 30) - 1)
+            neg = ps >= np.int32(1 << 30)
+            g = tabf[prow]                               # (S, 128)
+            px = g[:, :L]
+            py0 = g[:, L : 2 * L]
+            py = jnp.where(neg[:, None], F8.canon_neg(CTX, py0), py0)
+            SX, SY, SZ = W.madd(ops, (AX, AY, AZ), (px, py))
+            m = live[:, None]
+            return (
+                jnp.where(m, SX, AX),
+                jnp.where(m, SY, AY),
+                jnp.where(m, SZ, AZ),
+            )
 
-    @jax.jit
-    def j_inv(den):
-        flat = den.reshape(-1, L)
-        out = block_batch_inv(
-            flat, zeros=jnp.zeros(flat.shape[0], bool), B=512, U=32
-        )
-        return out.reshape(den.shape)
+        return f
 
-    @jax.jit
-    def j_apply(Ax, Ay, Ainf, px, py, dinv, live, first, add_ok, dbl,
-                yopp):
-        """Affine add A <- A + P per live bucket (~6 muls + inversion
-        share): lam = num/den, x3 = lam^2 - xA - xP (one-mul canon ->
-        uint8), y3 = lam (xA - x3) - yA (tighten'd loose f32)."""
-        Axf = Ax.astype(jnp.float32)
-        pxf = px.astype(jnp.float32)
-        pyf = py.astype(jnp.float32)
-        num = jnp.where(
-            dbl[..., None],
-            F8.mul_small(CTX, F8.mont_sqr(CTX, Axf), 3),
-            pyf - Ay,
-        )
-        lam = F8.mont_mul(CTX, num, dinv)
-        lam2 = F8.mont_sqr(CTX, lam)
-        x3 = F8.canon1(CTX, lam2 - Axf - pxf)
-        y3 = F8.tighten(CTX, F8.mont_mul(CTX, lam, Axf - x3) - Ay)
-        a1 = add_ok[..., None]
-        f1 = first[..., None]
-        Ax_n = jnp.where(f1, px, jnp.where(a1, x3.astype(jnp.uint8), Ax))
-        Ay_n = jnp.where(f1, pyf, jnp.where(a1, y3, Ay))
-        # live & first -> point; live & yopp -> infinity; else unchanged
-        Ainf_n = jnp.where(live, jnp.where(Ainf, False, yopp), Ainf)
-        return Ax_n, Ay_n, Ainf_n
+    @functools.lru_cache(maxsize=None)
+    def j_compact(S_from: int, S_to: int):
+        @jax.jit
+        def f(stf, lnf, orig, AX, AY, AZ, G0, G1_, G2_, j):
+            # merge current state into the persistent grid, then gather
+            # the still-live slots down to S_to rows
+            G0 = G0.at[orig].set(AX, mode="drop")
+            G1_ = G1_.at[orig].set(AY, mode="drop")
+            G2_ = G2_.at[orig].set(AZ, mode="drop")
+            surv = j < lnf
+            iota = jnp.arange(S_from, dtype=jnp.int32)
+            posc = jnp.cumsum(surv.astype(jnp.int32)) - 1
+            dest = jnp.where(surv, posc, S_to)
+            src = jnp.full((S_to,), S_from, jnp.int32).at[dest].set(
+                iota, mode="drop"
+            )
+            ok = src < S_from
+            srcc = jnp.minimum(src, S_from - 1)
+            stf2 = jnp.where(ok, stf[srcc], 0)
+            lnf2 = jnp.where(ok, lnf[srcc], 0)   # dead slots: never live
+            orig2 = jnp.where(ok, orig[srcc], S0)  # dropped at scatter
+            one = F8.one(CTX, (S_to,))
+            zero = jnp.zeros_like(one)
+            okm = ok[:, None]
+            AX2 = jnp.where(okm, AX[srcc], zero)
+            AY2 = jnp.where(okm, AY[srcc], one)
+            AZ2 = jnp.where(okm, AZ[srcc], zero)
+            return stf2, lnf2, orig2, AX2, AY2, AZ2, G0, G1_, G2_
+
+        return f
 
     @jax.jit
-    def j_finish(Ax, Ay, Ainf):
-        one = F8.one(CTX, (K, nbuck))
-        zero = jnp.zeros_like(one)
-        i1 = Ainf[..., None]
-        X = jnp.where(i1, zero, Ax.astype(jnp.float32))
-        Y = jnp.where(i1, one, Ay)
-        Z = jnp.where(i1, zero, one)
-        grid = jnp.stack([X, Y, Z], axis=2)              # (K, nbuck, 3, L)
+    def j_finish(orig, AX, AY, AZ, G0, G1_, G2_):
+        G0 = G0.at[orig].set(AX, mode="drop")
+        G1_ = G1_.at[orig].set(AY, mode="drop")
+        G2_ = G2_.at[orig].set(AZ, mode="drop")
+        grid = jnp.stack([G0, G1_, G2_], axis=1).reshape(K, nbuck, 3, L)
         return _finish(grid, c, K, nbuck)
 
-    return j_front, j_sort, j_den, j_inv, j_apply, j_finish, K, nbuck
+    return j_front, j_sort, j_round, j_compact, j_finish, K, nbuck, S0
 
 
 def msm_g1_rounds(points, scalars_std, c: int = 16):
     """sum_i scalars[i] * points[i] over G1 (fp32 engine): dense-rounds
-    batched-affine Pippenger.  Concrete (non-traced) inputs only — the
-    round loop is host-driven (one compiled graph per stage, one scalar
-    fetch total).  Returns one projective point."""
+    Pippenger with fused complete adds.  Concrete (non-traced) inputs
+    only — the round loop is host-driven with one counts fetch total.
+    Returns one projective point."""
     n = points[0].shape[0]
-    (j_front, j_sort, j_den, j_inv, j_apply, j_finish, K, nbuck) = _jits(
+    (j_front, j_sort, j_round, j_compact, j_finish, K, nbuck, S0) = _jits(
         c, n
     )
-    tab, digits = j_front(points, scalars_std)
-    psel, sgn, starts, lens, maxlen = j_sort(digits)
-    R = int(np.asarray(maxlen))                  # the one host round-trip
-    Ax = jnp.zeros((K, nbuck, L), jnp.uint8)
-    Ay = jnp.zeros((K, nbuck, L), jnp.float32)
-    Ainf = jnp.ones((K, nbuck), bool)
+    tabf, digits = j_front(points, scalars_std)
+    pselsgn, stf, lnf, maxlen, counts_d = j_sort(digits)
+    fetched = np.asarray(
+        jnp.concatenate([maxlen[None], counts_d])
+    )  # the ONE host round-trip
+    R = int(fetched[0])
+    counts = fetched[1:]
+
+    ladder = [s for s in _LADDER if s < S0]
+    AX = jnp.zeros((S0, L), jnp.float32)
+    AY = F8.one(CTX, (S0,))
+    AZ = jnp.zeros((S0, L), jnp.float32)
+    orig = jnp.arange(S0, dtype=jnp.int32)
+    G0 = jnp.zeros((S0, L), jnp.float32)
+    G1_ = F8.one(CTX, (S0,))
+    G2_ = jnp.zeros((S0, L), jnp.float32)
+
+    S = S0
     for j in range(R):
+        # compact before round j when the live count fits a smaller rung
+        # (pop every qualifying rung; one compaction to the smallest)
+        live_now = int(counts[j] if j < _COUNT_CAP else counts[-1])
+        target = None
+        while ladder and live_now <= ladder[0]:
+            target = ladder.pop(0)
+        if target is not None and target < S:
+            jd = jnp.asarray(j, jnp.int32)
+            stf, lnf, orig, AX, AY, AZ, G0, G1_, G2_ = j_compact(S, target)(
+                stf, lnf, orig, AX, AY, AZ, G0, G1_, G2_, jd
+            )
+            S = target
         jd = jnp.asarray(j, jnp.int32)
-        den, flags, px, py = j_den(
-            tab, psel, sgn, starts, lens, Ax, Ay, Ainf, jd
-        )
-        dinv = j_inv(den)
-        live, first, add_ok, dbl, yopp = flags
-        Ax, Ay, Ainf = j_apply(
-            Ax, Ay, Ainf, px, py, dinv, live, first, add_ok, dbl, yopp
-        )
-    return j_finish(Ax, Ay, Ainf)
+        AX, AY, AZ = j_round(S)(tabf, pselsgn, stf, lnf, AX, AY, AZ, jd)
+    return j_finish(orig, AX, AY, AZ, G0, G1_, G2_)
