@@ -78,3 +78,58 @@ print("INT16-SIGN-BATCH-OK")
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     assert "INT16-SIGN-BATCH-OK" in out.stdout, (out.stdout, out.stderr[-4000:])
+
+
+def test_mhac_cred_pres_batch_matches_scalar():
+    """cred_pres_batch == cred_pres called B times, byte-for-byte, for the
+    same CSPRNG stream (the O(m*t) exponent work batches on device)."""
+    from crypto12381_tpu.api.sets import create_random_engine
+    from crypto12381_tpu.schemes import mhac_bbs
+
+    def flow(random, use_batch):
+        setup = mhac_bbs.iss_setup(4, random)
+        pp, keys = setup.pp, setup.keys
+        Prv = [0, 2]
+        Pub = [1, 3]
+        creds_l, groups_l, ptypes_l, pubs_l, shares_l = [], [], [], [], []
+        for _ in range(2):
+            ai = mhac_bbs.generate_attributes(pp, 3, 6, Prv, random)
+            creds = mhac_bbs.cred_iss(
+                pp, keys.sk, 3, ai.commitments, Pub,
+                ai.public_attributes, random,
+            )
+            group = mhac_bbs.make_pres_group(creds, [0, 2, 5])
+            ptype = mhac_bbs.make_pres_type(
+                pp, [1], Prv, ai.public_attributes
+            )
+            creds_l.append(creds)
+            groups_l.append(group)
+            ptypes_l.append(ptype)
+            pubs_l.append(ai.public_attributes)
+            shares_l.append(ai.private_attributes_share)
+        if use_batch:
+            pres = mhac_bbs.cred_pres_batch(
+                pp, creds_l, groups_l, ptypes_l, Prv, pubs_l, shares_l,
+                random,
+            )
+        else:
+            pres = [
+                mhac_bbs.cred_pres(
+                    pp, creds_l[i], groups_l[i], ptypes_l[i], Prv,
+                    pubs_l[i], shares_l[i], random,
+                )
+                for i in range(2)
+            ]
+        return pp, keys, Prv, ptypes_l, pubs_l, pres
+
+    _, k1, Prv, pt1, pub1, want = flow(create_random_engine("mh-b"), False)
+    pp2, k2, _, pt2, pub2, got = flow(create_random_engine("mh-b"), True)
+    for w, g in zip(want, got):
+        assert bytes(w.fixed_part) == bytes(g.fixed_part)
+        assert [bytes(x) for x in w.z] == [bytes(x) for x in g.z]
+        assert ([bytes(x) for x in w.z_hid_pub]
+                == [bytes(x) for x in g.z_hid_pub])
+    for i in range(2):
+        assert mhac_bbs.verify_pres(
+            pp2, k2.pk, pt2[i], Prv, pub2[i], got[i]
+        )
