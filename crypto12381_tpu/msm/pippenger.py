@@ -69,16 +69,26 @@ def window_digits(e_std: jnp.ndarray, c: int, K: int | None = None) -> jnp.ndarr
     return dig.astype(jnp.int32)
 
 
-def signed_window_digits(e_std: jnp.ndarray, c: int) -> jnp.ndarray:
+def signed_window_digits(e_std: jnp.ndarray, c: int,
+                         nbits: int = 258) -> jnp.ndarray:
     """(..., L) Fr std limbs -> (..., K) SIGNED digits in
-    [-2^(c-1), 2^(c-1)], K = ceil(258/c), with e = Σ d_i 2^(ci).
+    [-2^(c-1), 2^(c-1)], K = ceil(nbits/c), with e = Σ d_i 2^(ci).
 
     Branchless offset trick: f = e + Σ_i 2^(ci+c-1); the unsigned c-bit
     digits of f minus 2^(c-1) are the signed digits (no sequential borrow
     chain — jit/batch friendly, unlike the reference's per-bit recoding).
-    cK >= 258 so that ANY 256-bit scalar decomposes exactly (e need not be
-    reduced mod r: f = e + offset < 2^256 + 2^(cK-1)*1.01 < 2^cK)."""
-    K = -(-258 // c)
+
+    `nbits` picks the coverage/window-count trade:
+      - 258 (default): cK >= 258, so ANY 256-bit scalar decomposes
+        exactly (e need not be reduced mod r: f = e + offset
+        < 2^256 + 2^(cK-1)*1.01 < 2^cK) — but the top window's digits
+        then concentrate on {0, 1}, which the dense-rounds MSM cannot
+        tolerate (one bucket holds a ~n/2-long run);
+      - 256: requires e < 2^256 - offset (any CANONICAL Zp scalar,
+        e < r < 2^255, qualifies — the ZpVec/api path guarantees this).
+        With c = 16 the top window's digits spread uniformly over
+        ~r/2^240 ~ 2^13.9 values, so bucket runs stay near-Poisson."""
+    K = -(-nbits // c)
     off = sum(1 << (c * i + c - 1) for i in range(K))
     L = e_std.shape[-1]
     off_limbs = np.array(

@@ -54,6 +54,9 @@ fp32-engine only; other engines keep the generic scan MSM.
 from __future__ import annotations
 
 import functools
+import os
+import sys
+import time
 
 import jax
 import jax.numpy as jnp
@@ -74,25 +77,55 @@ __all__ = ["msm_g1_rounds"]
 #: the last ladder size — only adversarial inputs ever get there)
 _COUNT_CAP = 512
 
-#: quantized compaction ladder (slot-array sizes; compile-shape budget)
-_LADDER = (1 << 18, 1 << 17, 1 << 16, 1 << 15)
+#: quantized compaction ladder (slot-array sizes; compile-shape budget).
+#: Every distinct size costs one fused-madd Mosaic compile (~30-90 s via
+#: the tunneled backend), so the ladder is short; override with
+#: CRYPTO12381_MSM_LADDER="131072,32768" (or "" for no compaction) to
+#: trade steady-state time against compile count.
+_LADDER = tuple(
+    int(s)
+    for s in os.environ.get(
+        "CRYPTO12381_MSM_LADDER", "262144,131072,65536,32768"
+    ).split(",")
+    if s
+)
 
 
 @functools.lru_cache(maxsize=None)
 def _jits(c: int, n: int):
-    K = -(-258 // c)
+    # nbits=256: canonical (mod-r) scalars only — this keeps the top
+    # window's digit distribution uniform, which the rounds schedule
+    # requires (a concentrated top window would put ~n/2 points in one
+    # bucket = ~n/2 serial rounds).  msm_g1_rounds detects violations at
+    # the counts fetch and falls back to the scan MSM.
+    K = -(-256 // c)
     nbuck = (1 << (c - 1)) + 1
     n2 = n + (n % 2)          # _prep pads odd n with a zero-scalar point
     nf = K * n2               # flat sorted-slot count
     S0 = K * nbuck            # full slot-array size
 
+    # r as 18 16-bit limbs, for the canonicality check below
+    from ..params import R as _R
+
+    r_limbs = np.array(
+        [(_R >> (16 * i)) & 0xFFFF for i in range(18)], np.int32
+    )
+
     @jax.jit
     def j_front(points, scalars_std):
-        tab8, digits = _prep(points, scalars_std, c)
+        tab8, digits = _prep(points, scalars_std, c, nbits=256)
         tabf = jnp.zeros((n2, 128), jnp.float32)
         tabf = tabf.at[:, :L].set(tab8[:, 0].astype(jnp.float32))
         tabf = tabf.at[:, L : 2 * L].set(tab8[:, 1].astype(jnp.float32))
-        return tabf, digits
+        # any scalar >= r?  (lexicographic limb compare; the nbits=256
+        # decomposition is only exact for canonical scalars, so a
+        # violation routes the call to the generic scan MSM)
+        rl = jnp.asarray(r_limbs)
+        ne = scalars_std != rl
+        hi = 17 - jnp.argmax(ne[:, ::-1], axis=1)
+        rows = jnp.arange(scalars_std.shape[0])
+        ge = jnp.where(ne.any(1), scalars_std[rows, hi] > rl[hi], True)
+        return tabf, digits, jnp.any(ge).astype(jnp.int32)
 
     @jax.jit
     def j_sort(digits):
@@ -205,22 +238,56 @@ def _jits(c: int, n: int):
     return j_front, j_sort, j_round, j_compact, j_finish, K, nbuck, S0
 
 
+@functools.lru_cache(maxsize=None)
+def _scan_fallback():
+    return jax.jit(lambda P, s: MSM.msm_g1(P, s, c=8))
+
+
 def msm_g1_rounds(points, scalars_std, c: int = 16):
     """sum_i scalars[i] * points[i] over G1 (fp32 engine): dense-rounds
     Pippenger with fused complete adds.  Concrete (non-traced) inputs
     only — the round loop is host-driven with one counts fetch total.
-    Returns one projective point."""
+    Returns one projective point.
+
+    PRECONDITION: scalars must be canonical Zp std limbs (< r < 2^255)
+    — the ZpVec/api path guarantees this; raw callers with possibly
+    unreduced 256-bit scalars must reduce mod r first (the nbits=256
+    decomposition is exact only below 2^256 - offset ~ 2^255.99).
+
+    Run-length guard: the rounds schedule is serial in the longest
+    bucket run, so heavily duplicated scalars (adversarial input) would
+    degenerate to O(n) rounds.  The schedule length R comes back with
+    the (single) counts fetch; when R exceeds the tracked window the
+    call falls back to the generic scan MSM — always correct, just not
+    on this kernel's fast path."""
     n = points[0].shape[0]
+    dbg = os.environ.get("CRYPTO12381_DEBUG_MSM")
+
+    def _log(msg, _t=[time.time()]):
+        if dbg:
+            now = time.time()
+            print(f"[rounds +{now - _t[0]:6.1f}s] {msg}",
+                  file=sys.stderr, flush=True)
+            _t[0] = now
+
     (j_front, j_sort, j_round, j_compact, j_finish, K, nbuck, S0) = _jits(
         c, n
     )
-    tabf, digits = j_front(points, scalars_std)
+    tabf, digits, bad = j_front(points, scalars_std)
     pselsgn, stf, lnf, maxlen, counts_d = j_sort(digits)
+    _log("front+sort dispatched")
     fetched = np.asarray(
-        jnp.concatenate([maxlen[None], counts_d])
+        jnp.concatenate([bad[None], maxlen[None], counts_d])
     )  # the ONE host round-trip
-    R = int(fetched[0])
-    counts = fetched[1:]
+    R = int(fetched[1])
+    counts = fetched[2:]
+    _log(f"counts fetched: R={R} live0={int(counts[0])} S0={S0}")
+    if fetched[0] or R > _COUNT_CAP:
+        # non-canonical scalars (>= r: nbits=256 decomposition invalid)
+        # or degenerate run distribution (duplicate-heavy scalars: the
+        # rounds schedule would serialize) — use the scan MSM instead
+        _log(f"bad={int(fetched[0])} R={R}: falling back to scan MSM")
+        return _scan_fallback()(points, scalars_std)
 
     ladder = [s for s in _LADDER if s < S0]
     AX = jnp.zeros((S0, L), jnp.float32)
@@ -244,7 +311,14 @@ def msm_g1_rounds(points, scalars_std, c: int = 16):
             stf, lnf, orig, AX, AY, AZ, G0, G1_, G2_ = j_compact(S, target)(
                 stf, lnf, orig, AX, AY, AZ, G0, G1_, G2_, jd
             )
+            _log(f"round {j}: compacted {S} -> {target} "
+                 f"(live {live_now})")
             S = target
         jd = jnp.asarray(j, jnp.int32)
         AX, AY, AZ = j_round(S)(tabf, pselsgn, stf, lnf, AX, AY, AZ, jd)
-    return j_finish(orig, AX, AY, AZ, G0, G1_, G2_)
+        if dbg:
+            jax.block_until_ready(AX)
+            _log(f"round {j} done (S={S})")
+    out = j_finish(orig, AX, AY, AZ, G0, G1_, G2_)
+    _log("finish dispatched")
+    return out

@@ -263,8 +263,10 @@ def _any_mergeable(k: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _prep(points, scalars_std, c: int):
-    """Front end: force-affine + canonicalize + signed window digits."""
+def _prep(points, scalars_std, c: int, nbits: int = 258):
+    """Front end: force-affine + canonicalize + signed window digits.
+    `nbits`: scalar coverage (see signed_window_digits — 258 covers any
+    256-bit input; 256 assumes canonical mod-r scalars)."""
     ops = G1.ops()
     gen = MSM._gen_affine_g1()
     x, y, scalars_std = MSM.force_affine(ops, points, scalars_std, gen)
@@ -287,7 +289,7 @@ def _prep(points, scalars_std, c: int):
     yc = F8.reduce_full(CTX, y)
     yn = F8.canon_neg(CTX, yc)
     tab = jnp.stack([xc, yc, yn], 1).astype(jnp.uint8)   # (n, 3, L)
-    digits = MSM.signed_window_digits(scalars_std, c)    # (n, K)
+    digits = MSM.signed_window_digits(scalars_std, c, nbits)  # (n, K)
     return tab, digits
 
 

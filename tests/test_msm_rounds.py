@@ -91,10 +91,13 @@ def test_rounds_msm_identity_and_zero_scalars():
 
 
 def test_rounds_msm_unreduced_256bit_scalars():
-    """Scalars >= r (any 256-bit value decomposes: cK >= 258)."""
+    """Scalars >= r violate the canonical-scalar precondition: the
+    device range check must detect them at the counts fetch and route
+    the call to the (always-correct) scan MSM fallback."""
     n = 12
     ks = [rng.randrange(R) for _ in range(n)]
     scalars = [rng.randrange(1 << 256) for _ in range(n)]
+    assert any(x >= R for x in scalars)
     import jax.numpy as jnp
 
     pts = [C.g1_mul(C.G1_GEN, k) for k in ks]
@@ -104,9 +107,10 @@ def test_rounds_msm_unreduced_256bit_scalars():
         np.int32,
     )
     s = jnp.asarray(limbs)  # raw limbs: NOT reduced mod r
-    res = MR.msm_g1_rounds(P, s, c=7)
-    got = G1.to_affine_ints(res)
-    assert got == _oracle(pts, [x % R for x in scalars])
+    for c in (7, 16):
+        res = MR.msm_g1_rounds(P, s, c=c)
+        got = G1.to_affine_ints(res)
+        assert got == _oracle(pts, [x % R for x in scalars])
 
 
 def test_rounds_msm_matches_scan():

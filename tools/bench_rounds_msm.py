@@ -57,10 +57,14 @@ def main():
         jnp.tile(coord, (reps,) + (1,) * (coord.ndim - 1)) for coord in base
     )
 
-    s_raw = rng.integers(0, 1 << 16, size=(n, 18), dtype=np.int32)
-    s_raw[:, 16:] = 0  # 256-bit scalars
-    s_ints = [int(sum(int(v) << (16 * i) for i, v in enumerate(row)))
-              for row in s_raw]
+    # canonical mod-r scalars — the api/ZpVec contract msm_g1_rounds
+    # requires (raw 256-bit values would overflow the nbits=256 signed
+    # decomposition)
+    s_ints = [int.from_bytes(rng.bytes(32), "big") % R for _ in range(n)]
+    s_raw = np.array(
+        [[(v >> (16 * i)) & 0xFFFF for i in range(18)] for v in s_ints],
+        dtype=np.int32,
+    )
     expect_k = sum(a_ints[i % m] * s_ints[i] for i in range(n)) % R
     expect = C.g1_mul(C.G1_GEN, expect_k)
     s_dev = jnp.asarray(s_raw)

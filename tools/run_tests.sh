@@ -35,6 +35,8 @@ run_group tests/test_schemes.py tests/test_scheme_vectors.py \
 run_group tests/test_msm_sorted.py tests/test_batchcodec.py \
           tests/test_keccak.py tests/test_devhash.py tests/test_subgroup.py
 run_group tests/test_pairing_precomp.py tests/test_sign_batch.py
+# group 3c: round-5 additions — dense-rounds MSM
+run_group tests/test_msm_rounds.py
 # group 4: the device batch paths — heaviest pairing graphs; even this
 # one file exceeds a single process's compile-memory budget, so every
 # test gets a fresh process.
