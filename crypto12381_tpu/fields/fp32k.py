@@ -490,21 +490,39 @@ def prog_fp12_sparse_mul(k: K, xs):
     return _from6(out[0]) + _from6(out[1])
 
 
-def _rcb_add_generic(p: _P, P1, P2, fp2: bool, b3_mont):
+def _out3(p: _P, coords, fp2: bool):
+    """Tighten the three output coordinates of a deferred-3b curve
+    program, after adding the 2^16 p protective offset (k.aux row 0 —
+    see _offp_row: scaled-negative combines can reach ~-47000 p, far
+    below _norm's own -4096 p floor)."""
+    offp = p.k.aux[0:1]
+    if fp2:
+        return tuple(
+            p.tighten2((c[0] + offp, c[1] + offp)) for c in coords
+        )
+    return tuple(_tighten(p.k, c + offp) for c in coords)
+
+
+def _rcb_add_generic(p: _P, P1, P2, fp2: bool):
     """RCB15 complete addition over Fp (fp2=False) or Fp2 (fp2=True).
 
     P1/P2: (X, Y, Z) with each coordinate an Fp reg or an Fp2 pair.
-    b3_mont: normalized digit reg(s) of 3*b in Montgomery form.
-    Mirrors curves/weierstrass.add exactly (3 product rounds; here all 14
-    (Fp) / 14*3 (Fp2) base products REDC in one batch is impossible since
-    round 2/3 multiply round-1 outputs — so this runs THREE mini-batches
-    inside one kernel: still one kernel launch, one output write."""
+    Same deferred-3b restructure as _rcb_madd_generic (see its docstring
+    for the algebra and bounds; here the bt2 operand is t2 = Z1*Z2
+    instead of Z1): TWO product rounds (6 + 9 = 15 base products) inside
+    one kernel launch, instead of the transcription's three (6 + 2 + 6 =
+    14) — one extra product buys away a whole REDC round trip."""
     if fp2:
         mk_add, mk_sub = _a2, _s2
-        mul = p.fp2_mul
 
         def muls(pairs):
             return [p.fp2_mul(a, b) for a, b in pairs]
+
+        def sc12(x2):  # b3 * x = 12 * xi(x)
+            return ((x2[0] - x2[1]) * 12.0, (x2[0] + x2[1]) * 12.0)
+
+        def sc_b3sq(x2):  # b3^2 * x = 288u * x
+            return (x2[1] * -288.0, x2[0] * 288.0)
     else:
         def mk_add(x, y):
             return x + y
@@ -512,15 +530,18 @@ def _rcb_add_generic(p: _P, P1, P2, fp2: bool, b3_mont):
         def mk_sub(x, y):
             return x - y
 
-        def mul_fp(a, b):
-            an, bn = p.nrm(a), p.nrm(b)
-            h = p.mb.mul(an, bn)
-            return lambda: p.mb.get(h)
-
-        mul = mul_fp
-
         def muls(pairs):
-            return [mul_fp(a, b) for a, b in pairs]
+            out = []
+            for a, b in pairs:
+                h = p.mb.mul(p.nrm(a), p.nrm(b))
+                out.append(lambda h=h: p.mb.get(h))
+            return out
+
+        def sc12(x):
+            return x * 12.0
+
+        def sc_b3sq(x):
+            return x * 144.0
 
     X1, Y1, Z1 = P1
     X2, Y2, Z2 = P2
@@ -538,39 +559,58 @@ def _rcb_add_generic(p: _P, P1, P2, fp2: bool, b3_mont):
     t4 = mk_sub(m4, mk_add(t1, t2))
     t5 = mk_sub(m5, mk_add(t0, t2))
     w = mk_add(mk_add(t0, t0), t0)
-    # round 2: b3 * t2, b3 * t5
     p.mb = _MulBatch(p.k)
     p._norms = {}
-    r2 = muls([(b3_mont, t2), (b3_mont, t5)])
-    p.run()
-    bt2, bt5 = [r() for r in r2]
-    z3a = mk_add(t1, bt2)
-    t1m = mk_sub(t1, bt2)
-    p.mb = _MulBatch(p.k)
-    p._norms = {}
-    r3 = muls(
-        [(t3, t1m), (t4, bt5), (bt5, w), (t1m, z3a), (w, t3), (z3a, t4)]
+    r2 = muls(
+        [
+            (t3, t1), (t3, t2),              # A, B
+            (t1, t1), (t2, t2),              # C, D
+            (t1, t4), (t2, t4),              # E, F
+            (t5, t4), (t5, w),               # G, H
+            (w, t3),                         # I
+        ]
     )
     p.run()
-    c = [r() for r in r3]
-    X3 = mk_sub(c[0], c[1])
-    Y3 = mk_add(c[3], c[2])
-    Z3 = mk_add(c[5], c[4])
-    if fp2:
-        return (p.tighten2(X3), p.tighten2(Y3), p.tighten2(Z3))
-    return (
-        _tighten(p.k, X3), _tighten(p.k, Y3), _tighten(p.k, Z3)
-    )
+    A, B, C, D, E, F, G, H, I = [r() for r in r2]
+    X3 = mk_sub(mk_sub(A, sc12(B)), sc12(G))
+    Y3 = mk_add(mk_sub(C, sc_b3sq(D)), sc12(H))
+    Z3 = mk_add(mk_add(E, sc12(F)), I)
+    return _out3(p, (X3, Y3, Z3), fp2)
 
 
-def _rcb_madd_generic(p: _P, P1, Q2, fp2: bool, b3):
-    """Mixed complete addition (Z2 = 1): weierstrass.madd transcribed —
-    13 field muls in three in-kernel product rounds."""
+def _rcb_madd_generic(p: _P, P1, Q2, fp2: bool):
+    """Mixed complete addition (Z2 = 1) — weierstrass.madd with the 3b
+    constant DEFERRED through the product round.
+
+    3b = 12 for G1 (b = 4) and 12(1+u) for the G2 twist (b' = 4(1+u)),
+    so every multiply by b3 is a tiny-integer digit scaling (for Fp2, a
+    scaled xi-rotation) — NOT worth a Montgomery product.  Expanding the
+    b3 terms algebraically
+
+        t3*t1m        = t3*t1 - 12*(t3*Z1)
+        t1m*z3a       = t1^2 - b3^2*Z1^2
+        z3a*t4        = t1*t4 + 12*(Z1*t4)
+        t4*bt5, bt5*w = 12*(t4*t5), 12*(t5*w)
+
+    turns the old 3-round schedule (5 + 2 + 6 = 13 products) into TWO
+    rounds (5 + 9 = 14): one more product, but one fewer REDC round trip
+    (the old round 2 was a 2-product batch — pure fixed cost) and fewer
+    operand shift sets (t3/t1/Z1/t5/w are each shared by 2+ products).
+    Digit-scalings happen on REDC outputs (value < 2p), so every value
+    stays far inside the 2^BUDGET_BITS*p normalization budget: worst is
+    Y3 < (2 + 288 + 24) * p ~ 2^8.3 p.  b3^2 = 144 for G1; for the twist
+    (12+12u)^2 = 288u, i.e. a 288-scaled u-rotation."""
     if fp2:
         mk_add, mk_sub = _a2, _s2
 
         def muls(pairs):
             return [p.fp2_mul(a, b) for a, b in pairs]
+
+        def sc12(x2):  # b3 * x = 12 * xi(x)
+            return ((x2[0] - x2[1]) * 12.0, (x2[0] + x2[1]) * 12.0)
+
+        def sc_b3sq(x2):  # b3^2 * x = 288u * x = 288 * (-im, re)
+            return (x2[1] * -288.0, x2[0] * 288.0)
     else:
         def mk_add(x, y):
             return x + y
@@ -584,6 +624,12 @@ def _rcb_madd_generic(p: _P, P1, Q2, fp2: bool, b3):
                 h = p.mb.mul(p.nrm(a), p.nrm(b))
                 out.append(lambda h=h: p.mb.get(h))
             return out
+
+        def sc12(x):
+            return x * 12.0
+
+        def sc_b3sq(x):
+            return x * 144.0
 
     X1, Y1, Z1 = P1
     X2, Y2 = Q2
@@ -596,60 +642,74 @@ def _rcb_madd_generic(p: _P, P1, Q2, fp2: bool, b3):
     )
     p.run()
     t0, t1, m3, zx, zy = [r() for r in r1]
-    t3 = mk_sub(m3, mk_add(t0, t1))
-    t4 = mk_add(zy, Y1)
-    t5 = mk_add(zx, X1)
-    w = mk_add(mk_add(t0, t0), t0)
+    t3 = mk_sub(m3, mk_add(t0, t1))          # X1Y2 + X2Y1
+    t4 = mk_add(zy, Y1)                      # Y1Z2 + Y2Z1
+    t5 = mk_add(zx, X1)                      # X1Z2 + X2Z1
+    w = mk_add(mk_add(t0, t0), t0)           # 3 X1X2
     p.mb = _MulBatch(p.k)
     p._norms = {}
-    r2 = muls([(b3, Z1), (b3, t5)])
-    p.run()
-    bt2, bt5 = [r() for r in r2]
-    z3a = mk_add(t1, bt2)
-    t1m = mk_sub(t1, bt2)
-    p.mb = _MulBatch(p.k)
-    p._norms = {}
-    r3 = muls(
-        [(t3, t1m), (t4, bt5), (bt5, w), (t1m, z3a), (w, t3), (z3a, t4)]
+    r2 = muls(
+        [
+            (t3, t1), (t3, Z1),              # A, B
+            (t1, t1), (Z1, Z1),              # C, D
+            (t1, t4), (Z1, t4),              # E, F
+            (t5, t4), (t5, w),               # G, H
+            (w, t3),                         # I
+        ]
     )
     p.run()
-    c = [r() for r in r3]
-    X3 = mk_sub(c[0], c[1])
-    Y3 = mk_add(c[3], c[2])
-    Z3 = mk_add(c[5], c[4])
-    if fp2:
-        return (p.tighten2(X3), p.tighten2(Y3), p.tighten2(Z3))
-    return (_tighten(p.k, X3), _tighten(p.k, Y3), _tighten(p.k, Z3))
+    A, B, C, D, E, F, G, H, I = [r() for r in r2]
+    X3 = mk_sub(mk_sub(A, sc12(B)), sc12(G))
+    Y3 = mk_add(mk_sub(C, sc_b3sq(D)), sc12(H))
+    Z3 = mk_add(mk_add(E, sc12(F)), I)
+    return _out3(p, (X3, Y3, Z3), fp2)
 
 
 def prog_g1_madd(k: K, xs):
     """Mixed RCB G1 addition: ins (X1,Y1,Z1,X2,Y2) -> (X3,Y3,Z3)."""
     p = _P(k)
-    b3r = k.aux[0:1]
-    out = _rcb_madd_generic(
-        p, (xs[0], xs[1], xs[2]), (xs[3], xs[4]), False, b3r
-    )
+    out = _rcb_madd_generic(p, (xs[0], xs[1], xs[2]), (xs[3], xs[4]), False)
     return list(out)
 
 
 def prog_g2_madd(k: K, xs):
     """Mixed RCB G2 addition over Fp2: 10 ins -> 6 outs."""
     p = _P(k)
-    b3 = (k.aux[0:1], k.aux[1:2])
     P1 = ((xs[0], xs[1]), (xs[2], xs[3]), (xs[4], xs[5]))
     Q2 = ((xs[6], xs[7]), (xs[8], xs[9]))
-    out = _rcb_madd_generic(p, P1, Q2, True, b3)
+    out = _rcb_madd_generic(p, P1, Q2, True)
     return [r for c in out for r in c]
 
 
-def _rcb_dbl_generic(p: _P, P1, fp2: bool, b3):
-    """Dedicated exception-free doubling (RCB15 Alg. 9, weierstrass.double
-    transcription): 9 products in three in-kernel rounds."""
+def _rcb_dbl_generic(p: _P, P1, fp2: bool):
+    """Dedicated exception-free doubling (RCB15 Alg. 9) with the 3b
+    constant deferred, like _rcb_madd_generic: with t2 = b3*z2,
+
+        t0m*y3a = (t0 - 3t2)(t0 + t2) = t0^2 - 24(t0 z2) - 432(z2^2)
+        t0m*xy  = t0*xy - 36(z2*xy)
+        t2*8t0  = 96(t0 z2),  t1*8t0 = 8(t0 t1)
+
+    (G1 constants shown; the G2 twist's b3 = 12(1+u) threads a xi
+    rotation through each scaling, and b3^2 = 288u).  TWO product rounds
+    (4 + 6 = 10 base products) instead of three (4 + 1 + 4 = 9).
+    REDC outputs carry value ~27 p (Fp2 components ~54 p), so the scaled
+    combines reach ~±47000 p — the shared _out3 epilogue adds the 2^16 p
+    protective offset before tightening (see _offp_row for the bound
+    proof)."""
     if fp2:
         mk_add, mk_sub = _a2, _s2
 
         def muls(pairs):
             return [p.fp2_mul(a, b) for a, b in pairs]
+
+        def sc(x2, f):
+            return (x2[0] * f, x2[1] * f)
+
+        def scxi(x2, f):  # f * xi(x) = f * (1+u) * x
+            return ((x2[0] - x2[1]) * f, (x2[0] + x2[1]) * f)
+
+        def scxi2(x2, f):  # f * (1+u)^2 * x = 2f * u * x
+            return (x2[1] * (-2.0 * f), x2[0] * (2.0 * f))
     else:
         def mk_add(x, y):
             return x + y
@@ -664,73 +724,74 @@ def _rcb_dbl_generic(p: _P, P1, fp2: bool, b3):
                 out.append(lambda h=h: p.mb.get(h))
             return out
 
+        def sc(x, f):
+            return x * f
+
+        scxi = scxi2 = sc
+
     X, Y, Z = P1
     r1 = muls([(Y, Y), (Y, Z), (X, Y), (Z, Z)])
     p.run()
     t0, t1, xy, z2 = [r() for r in r1]
     p.mb = _MulBatch(p.k)
     p._norms = {}
-    r2 = muls([(b3, z2)])
+    r2 = muls(
+        [
+            (t0, t0), (t0, z2), (z2, z2),    # J, K2, L2
+            (t0, xy), (z2, xy), (t0, t1),    # M, N, O
+        ]
+    )
     p.run()
-    (t2,) = [r() for r in r2]
-    t0_2 = mk_add(t0, t0)
-    t0_4 = mk_add(t0_2, t0_2)
-    z3_8y2 = mk_add(t0_4, t0_4)
-    y3a = mk_add(t0, t2)
-    t0m = mk_sub(t0, mk_add(mk_add(t2, t2), t2))
-    p.mb = _MulBatch(p.k)
-    p._norms = {}
-    r3 = muls([(t2, z3_8y2), (t1, z3_8y2), (t0m, y3a), (t0m, xy)])
-    p.run()
-    x3a, z3, y3b, x3b = [r() for r in r3]
-    Y3 = mk_add(y3b, x3a)
-    X3 = mk_add(x3b, x3b)
-    if fp2:
-        return (p.tighten2(X3), p.tighten2(Y3), p.tighten2(z3))
-    return (_tighten(p.k, X3), _tighten(p.k, Y3), _tighten(p.k, z3))
+    J, K2, L2, M, N, O = [r() for r in r2]
+    X3 = mk_sub(sc(M, 2.0), scxi(N, 72.0))
+    Y3 = mk_sub(mk_add(J, scxi(K2, 72.0)), scxi2(L2, 432.0))
+    Z3 = sc(O, 8.0)
+    return _out3(p, (X3, Y3, Z3), fp2)
 
 
 def prog_g1_dbl(k: K, xs):
     """Dedicated RCB G1 doubling: ins (X,Y,Z) -> (X3,Y3,Z3)."""
     p = _P(k)
-    out = _rcb_dbl_generic(p, (xs[0], xs[1], xs[2]), False, k.aux[0:1])
+    out = _rcb_dbl_generic(p, (xs[0], xs[1], xs[2]), False)
     return list(out)
 
 
 def prog_g2_dbl(k: K, xs):
     """Dedicated RCB G2 doubling over Fp2: 6 ins -> 6 outs."""
     p = _P(k)
-    b3 = (k.aux[0:1], k.aux[1:2])
     out = _rcb_dbl_generic(
-        p, ((xs[0], xs[1]), (xs[2], xs[3]), (xs[4], xs[5])), True, b3
+        p, ((xs[0], xs[1]), (xs[2], xs[3]), (xs[4], xs[5])), True
     )
     return [r for c in out for r in c]
 
 
 @functools.lru_cache(maxsize=None)
-def _b3_regs(fp2: bool):
-    """Normalized Montgomery digit rows of 3*b (b=4 on G1; b=4(1+i) on the
-    M-twist G2 — params.B_G1/B_G2, ref rom_curve_BLS12381.cpp)."""
-    from ..params import B_G1, B_G2
+def _offp_row() -> np.ndarray:
+    """(1, 128) digit row of 2^16 * p — the protective offset the curve
+    programs add to every output coordinate before the final tighten.
 
-    re = np.zeros((1, 128), np.float32)
-    if not fp2:
-        re[0, :L] = F8.mont_const(CTX, 3 * B_G1)
-        return (re,)
-    re[0, :L] = F8.mont_const(CTX, 3 * B_G2[0])
-    im = np.zeros((1, 128), np.float32)
-    im[0, :L] = F8.mont_const(CTX, 3 * B_G2[1])
-    return (re, im)
+    The deferred-3b combines scale REDC outputs (measured value ~27 p,
+    Fp2 Karatsuba components ~54 p) by constants up to 432 (x2 through a
+    xi rotation), so an output coordinate can sit as low as ~-47000 p/...
+    ~-46656 p — far below the -2^BUDGET_BITS p = -4096 p floor that
+    _norm's built-in offset can absorb (values more negative than that
+    leave residual digits above lane L-1, which the tighten fold then
+    DROPS).  Adding 2^16 p = 65536 p first makes every output positive;
+    the ceiling is safe by >3x: 65536 p + ~47000 p + 4096 p < 2^17.1 p
+    << 2^400 / p ~ 4*10^5 p (the lane-spill limit)."""
+    row = np.zeros((1, 128), np.float32)
+    row[0, :L] = np.asarray(
+        CTX.params.to_limbs((1 << 16) * CTX.params.modulus), np.float32
+    )
+    return row
 
 
 def prog_g1_add(k: K, xs):
     """Complete RCB G1 addition: ins (X1,Y1,Z1,X2,Y2,Z2) -> (X3,Y3,Z3).
-    3b comes in through k.aux row 0 (a captured constant would trip
-    pallas's closed-over-constant check)."""
+    (3b is folded into constant digit scalings — k.aux is unused.)"""
     p = _P(k)
-    b3r = k.aux[0:1]      # (1, 128): broadcasts through the product loop
     out = _rcb_add_generic(
-        p, (xs[0], xs[1], xs[2]), (xs[3], xs[4], xs[5]), False, b3r
+        p, (xs[0], xs[1], xs[2]), (xs[3], xs[4], xs[5]), False
     )
     return list(out)
 
@@ -738,10 +799,9 @@ def prog_g1_add(k: K, xs):
 def prog_g2_add(k: K, xs):
     """Complete RCB G2 addition over Fp2: 12 ins -> 6 outs."""
     p = _P(k)
-    b3 = (k.aux[0:1], k.aux[1:2])
     P1 = ((xs[0], xs[1]), (xs[2], xs[3]), (xs[4], xs[5]))
     P2 = ((xs[6], xs[7]), (xs[8], xs[9]), (xs[10], xs[11]))
-    out = _rcb_add_generic(p, P1, P2, True, b3)
+    out = _rcb_add_generic(p, P1, P2, True)
     return [r for c in out for r in c]
 
 
@@ -791,13 +851,12 @@ def _pad128(x):
 
 
 def _aux_for(name: str) -> np.ndarray:
-    """(2, 128) per-program constant rows (3b for the curve adds)."""
+    """(2, 128) per-program constant rows (the 2^16 p protective offset
+    for the curve adds — see _offp_row)."""
     aux = np.zeros((2, 128), np.float32)
-    if name in ("g1_add", "g1_madd", "g1_dbl"):
-        aux[0] = _b3_regs(False)[0][0]
-    elif name in ("g2_add", "g2_madd", "g2_dbl"):
-        aux[0] = _b3_regs(True)[0][0]
-        aux[1] = _b3_regs(True)[1][0]
+    if name in ("g1_add", "g1_madd", "g1_dbl", "g2_add", "g2_madd",
+                "g2_dbl"):
+        aux[0] = _offp_row()[0]
     return aux
 
 
@@ -1040,9 +1099,23 @@ def _g2_round(pairs):
     return [[r, i] for r, i in zip(_splitk(outs[0], k), _splitk(outs[1], k))]
 
 
+@functools.lru_cache(maxsize=None)
+def _b3_mont_g2():
+    """Montgomery digit rows of 3*b' on the M-twist (b' = 4(1+i) —
+    params.B_G2, ref rom_curve_BLS12381.cpp); used only by the composite
+    g2_add_c path (the fused register programs fold 3b into constant
+    digit scalings instead)."""
+    from ..params import B_G2
+
+    re = np.asarray(F8.mont_const(CTX, 3 * B_G2[0]), np.float32)
+    im = np.asarray(F8.mont_const(CTX, 3 * B_G2[1]), np.float32)
+    return re, im
+
+
 def _b3_c(shape):
-    re = jnp.broadcast_to(jnp.asarray(_b3_regs(True)[0][0, :L]), shape)
-    im = jnp.broadcast_to(jnp.asarray(_b3_regs(True)[1][0, :L]), shape)
+    re_np, im_np = _b3_mont_g2()
+    re = jnp.broadcast_to(jnp.asarray(re_np), shape)
+    im = jnp.broadcast_to(jnp.asarray(im_np), shape)
     return [re, im]
 
 
