@@ -479,23 +479,40 @@ class G1Vec(_PointVec):
             lanes: int = 64) -> "G1Vec":
         """Π self[i]^scalars[i] over the leading axis -> batch-free G1Vec.
 
-        Large batches route to the sorted batched-affine kernel
-        (msm/sorted.py, fp32 engine); small ones and the int16 engine use
-        the generic scan Pippenger."""
+        Large concrete batches route to the dense-rounds kernel
+        (msm/rounds.py, fp32 engine — ~1.9x the scan Pippenger at 2^20;
+        it is host-driven, so traced callers and small batches use the
+        generic scan path, as do the int16 engine and
+        CRYPTO12381_MSM=scan/sorted overrides).  ZpVec scalars are
+        canonical mod r, which the rounds kernel requires."""
         import os
 
+        import jax.core
+
         n = self.p[0].shape[0]
-        if (FPA.ENGINE == "fp32" and n >= 2048
-                and os.environ.get("CRYPTO12381_MSM") == "sorted"):
-            import jax.core
+        sel = os.environ.get("CRYPTO12381_MSM", "rounds")
+        concrete = not isinstance(self.p[0], jax.core.Tracer)
+        if FPA.ENGINE == "fp32" and n >= 2048 and concrete:
+            # the rounds kernel's slot arrays are K * nbuck ~ 2^19 rows
+            # regardless of n — below ~2^17 points the scan path wins
+            if sel == "rounds" and n >= (1 << 17):
+                from ..msm import rounds as MR
 
-            from ..msm import sorted as MSORT
+                return G1Vec(MR.msm_g1_rounds(self.p, scalars.std, c=16))
+            if sel == "sorted":
+                from ..msm import sorted as MSORT
 
-            cs = c if c is not None else max(6, min(16, n.bit_length() - 5))
-            if not isinstance(self.p[0], jax.core.Tracer):
+                cs = c if c is not None else max(
+                    6, min(16, n.bit_length() - 5)
+                )
                 return G1Vec(
                     MSORT.msm_g1_sorted_staged(self.p, scalars.std, c=cs)
                 )
+        elif (FPA.ENGINE == "fp32" and n >= 2048
+              and sel == "sorted"):
+            from ..msm import sorted as MSORT
+
+            cs = c if c is not None else max(6, min(16, n.bit_length() - 5))
             return G1Vec(MSORT.msm_g1_sorted(self.p, scalars.std, c=cs))
         lanes = min(lanes, 1 << max(0, (n - 1).bit_length() - 1)) or 1
         return G1Vec(MSM.msm_g1(self.p, scalars.std, c=c or 8, lanes=lanes))

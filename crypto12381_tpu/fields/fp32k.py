@@ -54,9 +54,15 @@ LP = CTX.pad_in     # 64: REDC matmul lane padding
 BASE = F8.BASE
 INV_BASE = F8.INV_BASE
 
-#: rows per kernel program, per op name (tunable; VMEM-bound).
+#: rows per kernel program, per op name (tunable; VMEM-bound).  The
+#: 2-round madd/add programs exceed the 16M scoped-VMEM cap at 256 rows;
+#: swept on-device: g1_madd 170-180 ms per 2^19 rows at 176 (vs 227 ms
+#: for the 3-round predecessor at 256), g1_add 134 ms per 2^18 at 176
+#: (vs 154 ms), g1_dbl fits 256 (87 ms per 2^18, vs 94 ms).
 _TILE = {
     "default": 256,
+    "g1_madd": 176,
+    "g1_add": 176,
 }
 #: product-loop grouping (see fields/fp32.py _PROD_G).
 _G = 8
@@ -507,22 +513,18 @@ def _rcb_add_generic(p: _P, P1, P2, fp2: bool):
     """RCB15 complete addition over Fp (fp2=False) or Fp2 (fp2=True).
 
     P1/P2: (X, Y, Z) with each coordinate an Fp reg or an Fp2 pair.
-    Same deferred-3b restructure as _rcb_madd_generic (see its docstring
-    for the algebra and bounds; here the bt2 operand is t2 = Z1*Z2
-    instead of Z1): TWO product rounds (6 + 9 = 15 base products) inside
-    one kernel launch, instead of the transcription's three (6 + 2 + 6 =
-    14) — one extra product buys away a whole REDC round trip."""
+    Unlike the mixed add, every 3b multiplicand here (t2 = Z1*Z2, t5) is
+    REDC-derived (~27 p, Fp2 components ~54 p), so the scaled operands
+    bt2 = 12*t2 / bt5 = 12*t5 and the combos t1 ± bt2 stay within
+    ~±1950 p — inside _norm's -4096 p floor with >2x margin, no offsets
+    needed.  The weierstrass.add round-3 product set survives verbatim;
+    only the 2-product b3 round disappears: TWO rounds, 6 + 6 = 12 base
+    products (the transcription spent 14 in three rounds)."""
     if fp2:
         mk_add, mk_sub = _a2, _s2
 
         def muls(pairs):
             return [p.fp2_mul(a, b) for a, b in pairs]
-
-        def sc12(x2):  # b3 * x = 12 * xi(x)
-            return ((x2[0] - x2[1]) * 12.0, (x2[0] + x2[1]) * 12.0)
-
-        def sc_b3sq(x2):  # b3^2 * x = 288u * x
-            return (x2[1] * -288.0, x2[0] * 288.0)
     else:
         def mk_add(x, y):
             return x + y
@@ -536,12 +538,6 @@ def _rcb_add_generic(p: _P, P1, P2, fp2: bool):
                 h = p.mb.mul(p.nrm(a), p.nrm(b))
                 out.append(lambda h=h: p.mb.get(h))
             return out
-
-        def sc12(x):
-            return x * 12.0
-
-        def sc_b3sq(x):
-            return x * 144.0
 
     X1, Y1, Z1 = P1
     X2, Y2, Z2 = P2
@@ -559,58 +555,59 @@ def _rcb_add_generic(p: _P, P1, P2, fp2: bool):
     t4 = mk_sub(m4, mk_add(t1, t2))
     t5 = mk_sub(m5, mk_add(t0, t2))
     w = mk_add(mk_add(t0, t0), t0)
+    bt2 = _sc12(p, t2, fp2)
+    bt5 = _sc12(p, t5, fp2)
+    z3a = mk_add(t1, bt2)
+    t1m = mk_sub(t1, bt2)
     p.mb = _MulBatch(p.k)
     p._norms = {}
     r2 = muls(
-        [
-            (t3, t1), (t3, t2),              # A, B
-            (t1, t1), (t2, t2),              # C, D
-            (t1, t4), (t2, t4),              # E, F
-            (t5, t4), (t5, w),               # G, H
-            (w, t3),                         # I
-        ]
+        [(t1m, t3), (t1m, z3a), (bt5, t4), (bt5, w), (z3a, t4), (w, t3)]
     )
     p.run()
-    A, B, C, D, E, F, G, H, I = [r() for r in r2]
-    X3 = mk_sub(mk_sub(A, sc12(B)), sc12(G))
-    Y3 = mk_add(mk_sub(C, sc_b3sq(D)), sc12(H))
-    Z3 = mk_add(mk_add(E, sc12(F)), I)
+    c = [r() for r in r2]
+    X3 = mk_sub(c[0], c[2])
+    Y3 = mk_add(c[1], c[3])
+    Z3 = mk_add(c[4], c[5])
     return _out3(p, (X3, Y3, Z3), fp2)
 
 
+def _sc12(p: _P, x, fp2: bool, off: bool = False):
+    """b3 * x as a digit scaling: 12*x on G1, 12*xi(x) on the twist
+    (b3 = 3b = 12 resp. 12(1+u) — tiny integers, never worth a
+    Montgomery product).  `off=True` adds the 2^16 p protective row
+    (a mod-p no-op) for operands whose scaled components could dip
+    below _norm's -2^BUDGET_BITS p floor; POSITIVE excursions are
+    harmless up to the ~2^400/p ~ 4e5 p lane-spill ceiling, which is
+    what makes operand-side scaling budget-legal at all."""
+    o = p.k.aux[0:1] if off else 0.0
+    if fp2:
+        return ((x[0] - x[1]) * 12.0 + o, (x[0] + x[1]) * 12.0 + o)
+    return x * 12.0 + o
+
+
 def _rcb_madd_generic(p: _P, P1, Q2, fp2: bool):
-    """Mixed complete addition (Z2 = 1) — weierstrass.madd with the 3b
-    constant DEFERRED through the product round.
+    """Mixed complete addition (Z2 = 1) — weierstrass.madd with the two
+    3b products replaced by digit scalings on the OPERAND side: 5 + 6 =
+    11 base products in TWO rounds (the transcription spent 13 in three,
+    two of them multiplying by the constant 3b = 12 resp. 12(1+u)).
 
-    3b = 12 for G1 (b = 4) and 12(1+u) for the G2 twist (b' = 4(1+u)),
-    so every multiply by b3 is a tiny-integer digit scaling (for Fp2, a
-    scaled xi-rotation) — NOT worth a Montgomery product.  Expanding the
-    b3 terms algebraically
-
-        t3*t1m        = t3*t1 - 12*(t3*Z1)
-        t1m*z3a       = t1^2 - b3^2*Z1^2
-        z3a*t4        = t1*t4 + 12*(Z1*t4)
-        t4*bt5, bt5*w = 12*(t4*t5), 12*(t5*w)
-
-    turns the old 3-round schedule (5 + 2 + 6 = 13 products) into TWO
-    rounds (5 + 9 = 14): one more product, but one fewer REDC round trip
-    (the old round 2 was a 2-product batch — pure fixed cost) and fewer
-    operand shift sets (t3/t1/Z1/t5/w are each shared by 2+ products).
-    Digit-scalings happen on REDC outputs (value < 2p), so every value
-    stays far inside the 2^BUDGET_BITS*p normalization budget: worst is
-    Y3 < (2 + 288 + 24) * p ~ 2^8.3 p.  b3^2 = 144 for G1; for the twist
-    (12+12u)^2 = 288u, i.e. a 288-scaled u-rotation."""
+    The scaled operands t1m = t1 - 12*Z1, z3a = t1 + 12*Z1 and
+    bt5 = 12*t5 involve tighten-bounded INPUT coordinates (~520 p), so
+    they can dip to ~-6200 p (Fp2 components ~-7500 p) — below _norm's
+    -2^BUDGET_BITS p = -4096 p floor.  Each gets the 2^16 p protective
+    row added (a mod-p no-op; see _offp_row): positive excursions are
+    harmless to ~4e5 p, which is exactly what makes operand-side
+    constant folding budget-legal."""
     if fp2:
         mk_add, mk_sub = _a2, _s2
 
         def muls(pairs):
             return [p.fp2_mul(a, b) for a, b in pairs]
 
-        def sc12(x2):  # b3 * x = 12 * xi(x)
-            return ((x2[0] - x2[1]) * 12.0, (x2[0] + x2[1]) * 12.0)
-
-        def sc_b3sq(x2):  # b3^2 * x = 288u * x = 288 * (-im, re)
-            return (x2[1] * -288.0, x2[0] * 288.0)
+        def prot(x2):
+            offp = p.k.aux[0:1]
+            return (x2[0] + offp, x2[1] + offp)
     else:
         def mk_add(x, y):
             return x + y
@@ -625,11 +622,8 @@ def _rcb_madd_generic(p: _P, P1, Q2, fp2: bool):
                 out.append(lambda h=h: p.mb.get(h))
             return out
 
-        def sc12(x):
-            return x * 12.0
-
-        def sc_b3sq(x):
-            return x * 144.0
+        def prot(x):
+            return x + p.k.aux[0:1]
 
     X1, Y1, Z1 = P1
     X2, Y2 = Q2
@@ -646,22 +640,20 @@ def _rcb_madd_generic(p: _P, P1, Q2, fp2: bool):
     t4 = mk_add(zy, Y1)                      # Y1Z2 + Y2Z1
     t5 = mk_add(zx, X1)                      # X1Z2 + X2Z1
     w = mk_add(mk_add(t0, t0), t0)           # 3 X1X2
+    bt2 = _sc12(p, Z1, fp2)
+    bt5 = prot(_sc12(p, t5, fp2))
+    z3a = prot(mk_add(t1, bt2))
+    t1m = prot(mk_sub(t1, bt2))
     p.mb = _MulBatch(p.k)
     p._norms = {}
     r2 = muls(
-        [
-            (t3, t1), (t3, Z1),              # A, B
-            (t1, t1), (Z1, Z1),              # C, D
-            (t1, t4), (Z1, t4),              # E, F
-            (t5, t4), (t5, w),               # G, H
-            (w, t3),                         # I
-        ]
+        [(t1m, t3), (t1m, z3a), (bt5, t4), (bt5, w), (z3a, t4), (w, t3)]
     )
     p.run()
-    A, B, C, D, E, F, G, H, I = [r() for r in r2]
-    X3 = mk_sub(mk_sub(A, sc12(B)), sc12(G))
-    Y3 = mk_add(mk_sub(C, sc_b3sq(D)), sc12(H))
-    Z3 = mk_add(mk_add(E, sc12(F)), I)
+    c = [r() for r in r2]
+    X3 = mk_sub(c[0], c[2])
+    Y3 = mk_add(c[1], c[3])
+    Z3 = mk_add(c[4], c[5])
     return _out3(p, (X3, Y3, Z3), fp2)
 
 
@@ -682,20 +674,13 @@ def prog_g2_madd(k: K, xs):
 
 
 def _rcb_dbl_generic(p: _P, P1, fp2: bool):
-    """Dedicated exception-free doubling (RCB15 Alg. 9) with the 3b
-    constant deferred, like _rcb_madd_generic: with t2 = b3*z2,
-
-        t0m*y3a = (t0 - 3t2)(t0 + t2) = t0^2 - 24(t0 z2) - 432(z2^2)
-        t0m*xy  = t0*xy - 36(z2*xy)
-        t2*8t0  = 96(t0 z2),  t1*8t0 = 8(t0 t1)
-
-    (G1 constants shown; the G2 twist's b3 = 12(1+u) threads a xi
-    rotation through each scaling, and b3^2 = 288u).  TWO product rounds
-    (4 + 6 = 10 base products) instead of three (4 + 1 + 4 = 9).
-    REDC outputs carry value ~27 p (Fp2 components ~54 p), so the scaled
-    combines reach ~±47000 p — the shared _out3 epilogue adds the 2^16 p
-    protective offset before tightening (see _offp_row for the bound
-    proof)."""
+    """Dedicated exception-free doubling (RCB15 Alg. 9,
+    weierstrass.double algebra) with the single b3 product replaced by
+    the digit scaling t2 = 12*z2 (xi-rotated on the twist): TWO product
+    rounds, 4 + 4 = 8 base products (the transcription spent 9 in three
+    rounds).  Sign budget: z2 is REDC-derived, so t0m = t0 - 3*t2
+    bottoms at ~-950 p on G1 and ~-3950 p on the twist — the latter sits
+    4% from _norm's -4096 p floor, so t0m is offset-protected there."""
     if fp2:
         mk_add, mk_sub = _a2, _s2
 
@@ -704,12 +689,6 @@ def _rcb_dbl_generic(p: _P, P1, fp2: bool):
 
         def sc(x2, f):
             return (x2[0] * f, x2[1] * f)
-
-        def scxi(x2, f):  # f * xi(x) = f * (1+u) * x
-            return ((x2[0] - x2[1]) * f, (x2[0] + x2[1]) * f)
-
-        def scxi2(x2, f):  # f * (1+u)^2 * x = 2f * u * x
-            return (x2[1] * (-2.0 * f), x2[0] * (2.0 * f))
     else:
         def mk_add(x, y):
             return x + y
@@ -727,26 +706,29 @@ def _rcb_dbl_generic(p: _P, P1, fp2: bool):
         def sc(x, f):
             return x * f
 
-        scxi = scxi2 = sc
-
     X, Y, Z = P1
     r1 = muls([(Y, Y), (Y, Z), (X, Y), (Z, Z)])
     p.run()
     t0, t1, xy, z2 = [r() for r in r1]
+    t2 = _sc12(p, z2, fp2)
+    t0_2 = mk_add(t0, t0)
+    t0_4 = mk_add(t0_2, t0_2)
+    z3_8y2 = mk_add(t0_4, t0_4)
+    y3a = mk_add(t0, t2)
+    t0m = mk_sub(t0, mk_add(mk_add(t2, t2), t2))
+    if fp2:  # -3950 p floor excursion: protect (mod-p no-op)
+        offp = p.k.aux[0:1]
+        t0m = (t0m[0] + offp, t0m[1] + offp)
     p.mb = _MulBatch(p.k)
     p._norms = {}
     r2 = muls(
-        [
-            (t0, t0), (t0, z2), (z2, z2),    # J, K2, L2
-            (t0, xy), (z2, xy), (t0, t1),    # M, N, O
-        ]
+        [(z3_8y2, t2), (z3_8y2, t1), (t0m, y3a), (t0m, xy)]
     )
     p.run()
-    J, K2, L2, M, N, O = [r() for r in r2]
-    X3 = mk_sub(sc(M, 2.0), scxi(N, 72.0))
-    Y3 = mk_sub(mk_add(J, scxi(K2, 72.0)), scxi2(L2, 432.0))
-    Z3 = sc(O, 8.0)
-    return _out3(p, (X3, Y3, Z3), fp2)
+    x3a, z3, y3b, x3b = [r() for r in r2]
+    X3 = mk_add(x3b, x3b)
+    Y3 = mk_add(y3b, x3a)
+    return _out3(p, (X3, Y3, z3), fp2)
 
 
 def prog_g1_dbl(k: K, xs):
