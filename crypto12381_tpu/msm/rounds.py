@@ -36,12 +36,13 @@ Why rounds instead of a merge tree: both do ~K*n point-adds, but rounds
 need ONE compiled graph per ladder size (the round index is a traced
 scalar), touch each point exactly once, and have no survivor-compaction
 scatters or per-pass structure recomputation.  Why projective instead of
-batched-affine: the fused 13-mul complete madd runs at the same measured
-~43 M field-muls/s plateau as every other kernel on this chip, and the
-affine path's per-round block inversion + canonicalization + flag
-machinery costs more than the 13 -> ~7 mul saving returns (measured:
-155 ms canonicalized affine chain + 87 ms block inversion vs 168 ms for
-the whole fused madd at the same working set).
+batched-affine: the fused complete madd (11 muls after the round-5
+operand-side 3b folding, fields/fp32k) runs at the measured ~42 M
+field-muls/s plateau, and the affine path's per-round block inversion +
+canonicalization + flag machinery costs more than the 11 -> ~7 mul
+saving returns (measured: 155 ms canonicalized affine chain + 87 ms
+block inversion vs ~175 ms for the whole fused madd at the same working
+set).
 
 Reference counterpart: ECP_muln (3rd-party/miracl-core/
 ecp_BLS12381.cpp:1112-1148 — serial Pippenger, unsigned 4-bit windows).
