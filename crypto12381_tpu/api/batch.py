@@ -498,7 +498,10 @@ class G1Vec(_PointVec):
             if sel == "rounds" and n >= (1 << 17):
                 from ..msm import rounds as MR
 
-                return G1Vec(MR.msm_g1_rounds(self.p, scalars.std, c=16))
+                return G1Vec(
+                    MR.msm_g1_rounds(self.p, scalars.std, c=16,
+                                     affine=self.z_is_one)
+                )
             if sel == "sorted":
                 from ..msm import sorted as MSORT
 

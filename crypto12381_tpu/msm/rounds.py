@@ -86,14 +86,14 @@ _COUNT_CAP = 512
 _LADDER = tuple(
     int(s)
     for s in os.environ.get(
-        "CRYPTO12381_MSM_LADDER", "262144,131072,65536,32768"
+        "CRYPTO12381_MSM_LADDER", "262144,131072,65536,32768,16384"
     ).split(",")
     if s
 )
 
 
 @functools.lru_cache(maxsize=None)
-def _jits(c: int, n: int):
+def _jits(c: int, n: int, affine: bool = False):
     # nbits=256: canonical (mod-r) scalars only — this keeps the top
     # window's digit distribution uniform, which the rounds schedule
     # requires (a concentrated top window would put ~n/2 points in one
@@ -114,7 +114,8 @@ def _jits(c: int, n: int):
 
     @jax.jit
     def j_front(points, scalars_std):
-        tab8, digits = _prep(points, scalars_std, c, nbits=256)
+        tab8, digits = _prep(points, scalars_std, c, nbits=256,
+                             affine=affine)
         tabf = jnp.zeros((n2, 128), jnp.float32)
         tabf = tabf.at[:, :L].set(tab8[:, 0].astype(jnp.float32))
         tabf = tabf.at[:, L : 2 * L].set(tab8[:, 1].astype(jnp.float32))
@@ -244,7 +245,8 @@ def _scan_fallback():
     return jax.jit(lambda P, s: MSM.msm_g1(P, s, c=8))
 
 
-def msm_g1_rounds(points, scalars_std, c: int = 16):
+def msm_g1_rounds(points, scalars_std, c: int = 16,
+                  affine: bool = False):
     """sum_i scalars[i] * points[i] over G1 (fp32 engine): dense-rounds
     Pippenger with fused complete adds.  Concrete (non-traced) inputs
     only — the round loop is host-driven with one counts fetch total.
@@ -260,7 +262,11 @@ def msm_g1_rounds(points, scalars_std, c: int = 16):
     degenerate to O(n) rounds.  The schedule length R comes back with
     the (single) counts fetch; when R exceeds the tracked window the
     call falls back to the generic scan MSM — always correct, just not
-    on this kernel's fast path."""
+    on this kernel's fast path.
+
+    `affine=True`: caller guarantees Z == 1 rows with no identities
+    (G1Vec.z_is_one; parsed/stored point tables) — skips the front's
+    batch Z-inversion chain."""
     n = points[0].shape[0]
     dbg = os.environ.get("CRYPTO12381_DEBUG_MSM")
 
@@ -272,7 +278,7 @@ def msm_g1_rounds(points, scalars_std, c: int = 16):
             _t[0] = now
 
     (j_front, j_sort, j_round, j_compact, j_finish, K, nbuck, S0) = _jits(
-        c, n
+        c, n, affine
     )
     tabf, digits, bad = j_front(points, scalars_std)
     pselsgn, stf, lnf, maxlen, counts_d = j_sort(digits)

@@ -263,13 +263,20 @@ def _any_mergeable(k: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _prep(points, scalars_std, c: int, nbits: int = 258):
+def _prep(points, scalars_std, c: int, nbits: int = 258,
+          affine: bool = False):
     """Front end: force-affine + canonicalize + signed window digits.
     `nbits`: scalar coverage (see signed_window_digits — 258 covers any
-    256-bit input; 256 assumes canonical mod-r scalars)."""
+    256-bit input; 256 assumes canonical mod-r scalars).  `affine`: the
+    caller guarantees Z == 1 rows (no identities) — skips the batch
+    Z-inversion chain entirely (~1 s of the 2^20 front at round-5
+    rates; the api G1Vec tracks this as z_is_one)."""
     ops = G1.ops()
     gen = MSM._gen_affine_g1()
-    x, y, scalars_std = MSM.force_affine(ops, points, scalars_std, gen)
+    if affine:
+        x, y = points[0], points[1]
+    else:
+        x, y, scalars_std = MSM.force_affine(ops, points, scalars_std, gen)
     n = x.shape[0]
     pad = (-n) % 2
     if pad:

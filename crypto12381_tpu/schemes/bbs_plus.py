@@ -10,8 +10,8 @@ from dataclasses import dataclass
 from ..api.sets import (G1, G2, Zp, encode_to, inverse, pair, parse,
                         product_, select_in, serialize)
 
-__all__ = ["PublicParameters", "Keys", "setup", "key_gen", "sign", "verify",
-           "verify_batch"]
+__all__ = ["PublicParameters", "Keys", "setup", "key_gen", "sign",
+           "sign_batch", "verify", "verify_batch"]
 
 
 @dataclass
@@ -53,6 +53,94 @@ def sign(pp: PublicParameters, sk: bytes, message: bytes, random) -> bytes:
     base = g1 * (h0**r) * product_([h[i] ** m[i] for i in range(n)])
     A = base ** inverse(gamma + x)
     return serialize(A, x, r)
+
+
+def sign_batch(pp: PublicParameters, sk: bytes, messages, random) -> list:
+    """B signatures in ONE device graph — byte-identical to sign() called
+    B times with the same CSPRNG stream.  Per message the (x, r) draws
+    happen on host in reference order; the blinded base products
+    g1 h0^r Π h_i^m_i and the A = base^(1/(gamma+x)) ladders batch on
+    device (ref src/bbs+.cpp:33-55).  messages: B raw byte strings."""
+    import jax as _jax
+    import jax.numpy as jnp
+
+    from ..api import batch as BT
+    from ..fields import active as FPA
+
+    g1e, g2e, h0e = parse(G1, G2, G1, pp.g1_g2_h0)
+    he = [parse(G1, b) for b in pp.h]
+    gamma = parse(Zp, sk)
+    B = len(messages)
+    enc = [encode_to(Zp, m) for m in messages]
+    n = max((len(e) for e in enc), default=0)
+    if n > len(he):
+        raise ValueError("message is too long")
+    xs, rs, einv = [], [], []
+    for _ in range(B):
+        x, r = select_in(Zp ** 2, random)
+        xs.append(x)
+        rs.append(r)
+        einv.append(inverse(gamma + x))
+    if n:
+        mm = jnp.stack(
+            [
+                BT.ZpVec.from_ints(
+                    [e[i].value if i < len(e) else 0 for e in enc]
+                ).std
+                for i in range(n)
+            ],
+            0,
+        )
+        hp = BT.G1Vec.from_elements(he[:n]).p
+    else:
+        mm = jnp.zeros((0, B, 18), jnp.int32)
+        hp = BT.G1Vec.identity((0,)).p
+    rv = BT.ZpVec.from_ints(rs)
+    ev = BT.ZpVec.from_ints(einv)
+    if FPA.ENGINE == "fp32":
+        xs_inf = _sign_device_jit()(
+            mm, BT.G1Vec.from_elements([g1e]).p,
+            BT.G1Vec.from_elements([h0e]).p, hp, rv.std, ev.std,
+        )
+        ab = BT.G1Vec.pack_bytes(*_jax.device_get(xs_inf))
+    else:
+        # engine-generic fallback: pack_bytes assumes fp32 8-bit digits
+        base = BT.G1Vec.from_elements([g1e] * B) * (
+            BT.G1Vec.from_elements([h0e] * B) ** rv
+        )
+        for i in range(n):
+            hi = BT.G1Vec.from_elements([he[i]] * B)
+            base = base * (hi ** BT.ZpVec(mm[i]))
+        ab = (base ** ev).serialize()
+    xb = BT.ZpVec.from_ints(xs).serialize()
+    rb = rv.serialize()
+    return [ab[i] + xb[i] + rb[i] for i in range(B)]
+
+
+def _sign_device_jit():
+    global _SIGN_DEV
+    if _SIGN_DEV is None:
+        import jax
+
+        from ..api import batch as BT
+
+        def f(mm, g1p, h0p, hp, rs, einv):
+            B = einv.shape[0]
+            h0 = BT.G1Vec(h0p, z_is_one=True).broadcast_to((B,))
+            base = BT.G1Vec(g1p, z_is_one=True).broadcast_to((B,)) \
+                * (h0 ** BT.ZpVec(rs))
+            for i in range(mm.shape[0]):
+                hi = BT.G1Vec(tuple(c[i : i + 1] for c in hp),
+                              z_is_one=True)
+                base = base * (hi.broadcast_to((B,)) ** BT.ZpVec(mm[i]))
+            # serialize_device fused in (see bbs._sign_device_jit)
+            return (base ** BT.ZpVec(einv)).serialize_device()
+
+        _SIGN_DEV = jax.jit(f)
+    return _SIGN_DEV
+
+
+_SIGN_DEV = None
 
 
 def verify(pp: PublicParameters, pk: bytes, message: bytes, signature: bytes) -> bool:

@@ -113,6 +113,19 @@ def test_rounds_msm_unreduced_256bit_scalars():
         assert got == _oracle(pts, [x % R for x in scalars])
 
 
+def test_rounds_msm_affine_fast_path():
+    """affine=True (z_is_one tables: skip the Z-inversion front) must
+    match the projective path and the oracle."""
+    n = 40
+    ks = rng.sample(range(1, 10_000), n)
+    scalars = [rng.randrange(R) for _ in range(n)]
+    pts = [C.g1_mul(C.G1_GEN, k) for k in ks]
+    P = _points_device(pts)
+    s = _scalars_device(scalars)
+    res = MR.msm_g1_rounds(P, s, c=8, affine=True)
+    assert G1.to_affine_ints(res) == _oracle(pts, scalars)
+
+
 def test_rounds_msm_matches_scan():
     """Cross-check vs the scan Pippenger on a mixed input with a
     duplicate pair and a zero scalar."""

@@ -1,7 +1,7 @@
 """Batched signing == scalar signing, byte-for-byte, for the same seed."""
 
 from crypto12381_tpu.api.sets import create_random_engine
-from crypto12381_tpu.schemes import bbs, ps
+from crypto12381_tpu.schemes import bbs, bbs_plus, ps
 
 
 def test_ps_sign_batch_matches_scalar():
@@ -30,6 +30,23 @@ def test_bbs_sign_batch_matches_scalar():
     got = bbs.sign_batch(pp, keys.sk, msgs, r2)
     assert got == want
     assert all(bbs.verify(pp, keys.pk, m, s) for m, s in zip(msgs, got))
+
+
+def test_bbs_plus_sign_batch_matches_scalar():
+    r1 = create_random_engine("sbp")
+    pp = bbs_plus.setup(3, r1)
+    keys = bbs_plus.key_gen(pp, r1)
+    msgs = [b"plus-%d" % i for i in range(3)]
+    want = [bbs_plus.sign(pp, keys.sk, m, r1) for m in msgs]
+    r2 = create_random_engine("sbp")
+    pp2 = bbs_plus.setup(3, r2)
+    keys2 = bbs_plus.key_gen(pp2, r2)
+    assert keys2.sk == keys.sk
+    got = bbs_plus.sign_batch(pp, keys.sk, msgs, r2)
+    assert got == want
+    assert all(
+        bbs_plus.verify(pp, keys.pk, m, s) for m, s in zip(msgs, got)
+    )
 
 
 def test_sign_batch_int16_engine():

@@ -52,6 +52,9 @@ def main():
     base = jax.jit(lambda s: G1.scalar_mul(G1.generator((m,)), s))(a_dev)
     sync(base)
     print(f"base points ({m}): {time.time()-t0:.1f}s", flush=True)
+    # affine table (production shape; see bench.py MSM stage)
+    aff = list(G1.to_affine_ints(base))
+    base = G1.from_affine_ints([p[0] for p in aff], [p[1] for p in aff])
     reps = n // m
     P = tuple(
         jnp.tile(coord, (reps,) + (1,) * (coord.ndim - 1)) for coord in base
@@ -70,7 +73,7 @@ def main():
     s_dev = jnp.asarray(s_raw)
 
     for c in cs:
-        fn = lambda P, s, c=c: MR.msm_g1_rounds(P, s, c=c)
+        fn = lambda P, s, c=c: MR.msm_g1_rounds(P, s, c=c, affine=True)
         t0 = time.time()
         res = fn(P, s_dev)
         sync(res)
