@@ -65,8 +65,10 @@ def negate(ops: FieldOps, p):
 
 def add(ops: FieldOps, p, q):
     """Complete addition (RCB15 Alg. 7, b3 = 3b): 14 field muls in three
-    stacked multiplication rounds (or ONE fused kernel when the fp32
-    engine's fused path is on)."""
+    stacked multiplication rounds on this XLA fallback; the fused kernel
+    program (fields/fp32k._rcb_add_generic, taken when the fp32 engine's
+    fused path is on) folds 3b into digit scalings — 12 muls, two
+    rounds, one kernel launch."""
     if ops.fused_add is not None:
         from ..fields import fp32k as FK
 
@@ -133,7 +135,9 @@ def double(ops: FieldOps, p):
 
 def madd(ops: FieldOps, p, q):
     """Mixed complete addition p + (X2 : Y2 : 1) — RCB15 Alg. 7 with
-    Z2 = 1 folded in: 13 field muls instead of 14, and exception-free for
+    Z2 = 1 folded in: 13 field muls instead of 14 on this XLA fallback
+    (the fused program folds 3b into digit scalings: 11 muls, two
+    rounds — fields/fp32k._rcb_madd_generic), and exception-free for
     every p (q must NOT be the identity, which has no Z=1 representative;
     MSM guarantees that by padding with the generator at scalar 0).
 
